@@ -1,0 +1,121 @@
+"""Autoregressive generation: KV-cached, fully jitted.
+
+The reference's batch loop (inference_p.py:69-90) re-runs the encoder and the
+*entire* padded decoder forward every step — O(steps · L²) attention work with
+no caching (model.py:92-127, SURVEY §3.3).  Here:
+
+  - the encoder runs ONCE per batch;
+  - cross-attention K/V are precomputed once (``prepare_memory``);
+  - each step advances one token against per-layer KV caches inside a single
+    ``lax.scan`` — one compiled kernel for the whole generation;
+  - sampling reproduces the reference's semantics: greedy argmax by default,
+    multinomial under top-k/top-p filtering otherwise (inference_p.py:74-77),
+    with top-1 confidence recorded every ``conf_every`` steps
+    (inference_p.py:84-86).
+
+Token-for-token parity of the cached path against the reference's padded
+full-forward ``predict`` is asserted in tests/test_generate.py.
+
+``postprocess`` applies the reference's EOS structure gate
+((EOS_idx - 1) % 5 == 0, inference_p.py:93-115) and tokenizer decode.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdcnet_tpu.config import BOS_ID, EOS_ID, PAD_ID
+from mdcnet_tpu.ops.sampling import top_k_top_p_filtering
+
+
+class GenerateResult(NamedTuple):
+    tokens: jnp.ndarray   # (B, steps+1) including the seeding BOS
+    confs: jnp.ndarray    # (B, ceil(steps/conf_every)) top-1 confidence
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "steps", "top_k", "top_p", "greedy",
+                     "conf_every", "temperature"))
+def generate(model, params, images: jnp.ndarray, rng: jax.Array,
+             steps: int = 101, top_k: int = 0, top_p: float = 1.0,
+             greedy: bool = True, conf_every: int = 4,
+             temperature: float = 1.0) -> GenerateResult:
+    """Batch generation. images: (B, H, W, 3). Returns token sequences seeded
+    with BOS, matching ``generate`` (inference_p.py:69-90) behavior."""
+    decoder = model.decoder
+    batch = images.shape[0]
+    cache_len = decoder.max_len - 1
+    steps = min(steps, cache_len - 1)
+
+    encoder_out = model.apply(params, images, method="encode")
+    mem_kvs = model.apply(params, encoder_out,
+                          method=lambda m, e: m.decoder.prepare_memory(e))
+    caches = decoder.init_cache(batch, cache_len)
+
+    bos = jnp.full((batch,), BOS_ID, dtype=jnp.int32)
+    n_confs = (steps + conf_every - 1) // conf_every
+
+    def step_fn(carry, i):
+        token, caches, finished, rng = carry
+        key_valid = (jnp.arange(cache_len)[None, :] <= i) & \
+            jnp.ones((batch, 1), bool)
+        logits, caches = model.apply(
+            params, token, i, caches, mem_kvs, key_valid,
+            method=lambda m, *a: m.decoder.decode_step(*a))
+        logits = logits / temperature
+        filtered = top_k_top_p_filtering(logits, top_k, top_p)
+        probs = jax.nn.softmax(filtered, axis=-1)
+        conf = jnp.max(probs, axis=-1)
+        if greedy:
+            nxt = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        else:
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(sub, filtered, axis=-1).astype(jnp.int32)
+        # freeze finished rows at PAD so decode sees a clean tail
+        nxt = jnp.where(finished, PAD_ID, nxt)
+        finished = finished | (nxt == EOS_ID)
+        return (nxt, caches, finished, rng), (nxt, conf)
+
+    init = (bos, caches, jnp.zeros((batch,), bool), rng)
+    _, (tokens, confs) = jax.lax.scan(init=init, f=step_fn,
+                                      xs=jnp.arange(steps))
+    tokens = jnp.concatenate([bos[:, None], tokens.T], axis=1)
+    confs = confs.T[:, ::conf_every][:, :n_confs]
+    return GenerateResult(tokens=tokens, confs=confs)
+
+
+def postprocess(batch_preds: np.ndarray, batch_confs: np.ndarray, tokenizer
+                ) -> Tuple[List, List, List, List]:
+    """EOS structure gate + decode (inference_p.py:93-115, caption-aware
+    variant inference_trail_after_good_map.py:50-76).
+
+    Returns (bboxes, labels, captions, confs) per image; None entries where
+    the structure check fails.
+    """
+    batch_preds = np.asarray(batch_preds)
+    eos_hit = batch_preds == EOS_ID
+    eos_idxs = np.where(eos_hit.any(axis=1), eos_hit.argmax(axis=1), 0)
+    invalid = (eos_idxs - 1) % 5 != 0
+    eos_idxs = np.where(invalid, 0, eos_idxs)
+
+    all_bboxes, all_labels, all_captions, all_confs = [], [], [], []
+    for i, eos_idx in enumerate(eos_idxs.tolist()):
+        if eos_idx == 0:
+            all_bboxes.append(None)
+            all_labels.append(None)
+            all_captions.append(None)
+            all_confs.append(None)
+            continue
+        labels, bboxes, caption = tokenizer.decode(batch_preds[i, :eos_idx + 1])
+        confs = [round(float(batch_confs[i][j]), 3)
+                 for j in range(min(len(bboxes), batch_confs.shape[1]))]
+        all_bboxes.append(bboxes)
+        all_labels.append(labels)
+        all_captions.append(caption)
+        all_confs.append(confs)
+    return all_bboxes, all_labels, all_captions, all_confs

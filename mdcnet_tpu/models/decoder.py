@@ -1,0 +1,172 @@
+"""Caption/sequence transformer decoder.
+
+Behavioral contract with the reference (model.py:26-127):
+  - ``__call__`` prepends a BOS column to the target (model.py:60-61), adds a
+    learnable positional embedding that is *linearly interpolated* when the
+    sequence length differs from ``max_len - 1`` (model.py:64-68), applies
+    positional dropout, adds a learnable positional embedding to the encoder
+    memory, runs a post-norm transformer decoder stack under a causal + pad
+    mask, and projects to vocab logits of shape (B, L+1, V).
+  - ``predict`` pads the prefix to ``max_len - 1`` with PAD, runs the same
+    stack *without* BOS prepend, then splices a pseudo-logit row holding the
+    raw BOS token id in front and drops the last position (model.py:92-127).
+
+TPU-first mechanics: generation does NOT re-run this full forward per step.
+``prepare_memory`` precomputes cross-attention K/V once per image and
+``decode_step`` advances one token against per-layer KV caches
+(O(L) total instead of the reference's O(L²) re-forwards) — outputs are
+verified token-identical to the padded full forward in tests/test_model.py.
+"""
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mdcnet_tpu.config import BOS_ID, PAD_ID
+from mdcnet_tpu.models.layers import TorchDecoderLayer, dot_product_attention
+from mdcnet_tpu.ops.masks import causal_mask, combine_masks, padding_bias
+
+Dtype = Any
+
+
+def interpolate_pos_embed(pos: jnp.ndarray, new_len: int) -> jnp.ndarray:
+    """Linear 1-D interpolation along the length axis, matching torch
+    ``F.interpolate(mode='linear', align_corners=False)`` (model.py:64-68).
+    pos: (1, L, D) -> (1, new_len, D)."""
+    old_len = pos.shape[1]
+    if old_len == new_len:
+        return pos
+    # align_corners=False: out coord i samples input at (i+0.5)*L/L' - 0.5
+    coords = (jnp.arange(new_len) + 0.5) * (old_len / new_len) - 0.5
+    coords = jnp.clip(coords, 0.0, old_len - 1)
+    lo = jnp.floor(coords).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, old_len - 1)
+    frac = (coords - lo)[None, :, None].astype(pos.dtype)
+    return pos[:, lo] * (1.0 - frac) + pos[:, hi] * frac
+
+
+class CaptionDecoder(nn.Module):
+    vocab_size: int
+    encoder_length: int
+    dim: int
+    num_heads: int
+    num_layers: int
+    ffn_dim: int = 2048
+    max_len: int = 100
+    pos_dropout: float = 0.4           # model.py:33 (axial variant: 0.05)
+    layer_dropout: float = 0.1         # torch TransformerDecoderLayer default
+    prepend_bos: bool = True           # axial variant skips the BOS prepend
+    torch_float_padmask: bool = False  # reproduce utils.py:29 float-mask bug
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.embedding = nn.Embed(self.vocab_size, self.dim,
+                                  dtype=self.dtype,
+                                  param_dtype=self.param_dtype,
+                                  embedding_init=nn.initializers.xavier_uniform())
+        init = nn.initializers.truncated_normal(0.02)
+        self.decoder_pos_embed = self.param(
+            "decoder_pos_embed", init, (1, self.max_len - 1, self.dim),
+            self.param_dtype)
+        self.encoder_pos_embed = self.param(
+            "encoder_pos_embed", init, (1, self.encoder_length, self.dim),
+            self.param_dtype)
+        self.pos_drop = nn.Dropout(self.pos_dropout)
+        self.layers = [
+            TorchDecoderLayer(self.dim, self.num_heads, self.ffn_dim,
+                              self.layer_dropout, dtype=self.dtype,
+                              param_dtype=self.param_dtype,
+                              name=f"layer{i}")
+            for i in range(self.num_layers)]
+        self.output = nn.Dense(self.vocab_size, dtype=jnp.float32,
+                               param_dtype=self.param_dtype)
+
+    # ------------------------------------------------------------------ #
+    # teacher-forced forward (model.py:58-88)
+    # ------------------------------------------------------------------ #
+    def __call__(self, encoder_out: jnp.ndarray, tgt: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        if self.prepend_bos:
+            bos = jnp.full((tgt.shape[0], 1), BOS_ID, dtype=tgt.dtype)
+            tgt = jnp.concatenate([bos, tgt], axis=1)
+        return self._run_stack(encoder_out, tgt, deterministic)
+
+    def _embed_tgt(self, tgt: jnp.ndarray, pos: jnp.ndarray,
+                   deterministic: bool) -> jnp.ndarray:
+        """Target embedding hook; the axial variant overrides this to insert
+        its attention block before the positional embedding."""
+        return self.pos_drop(self.embedding(tgt) + pos,
+                             deterministic=deterministic)
+
+    def _run_stack(self, encoder_out: jnp.ndarray, tgt: jnp.ndarray,
+                   deterministic: bool) -> jnp.ndarray:
+        length = tgt.shape[1]
+        pos = interpolate_pos_embed(
+            self.decoder_pos_embed.astype(self.dtype), length)
+        x = self._embed_tgt(tgt, pos, deterministic)
+
+        memory = encoder_out.astype(self.dtype) + \
+            self.encoder_pos_embed.astype(self.dtype)
+        memory = self.pos_drop(memory, deterministic=deterministic)
+
+        bias = combine_masks(
+            causal_mask(length),
+            padding_bias(tgt, PAD_ID,
+                         torch_float_compat=self.torch_float_padmask))
+        for layer in self.layers:
+            x = layer(x, memory, bias, deterministic=deterministic)
+        return self.output(x)
+
+    # ------------------------------------------------------------------ #
+    # reference predict semantics (model.py:92-127)
+    # ------------------------------------------------------------------ #
+    def predict(self, encoder_out: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
+        """Pad prefix to max_len-1, full forward (no BOS prepend), then
+        prepend a pseudo-logit row of raw BOS ids and drop the last step."""
+        b, length = tgt.shape
+        pad = jnp.full((b, self.max_len - 1 - length), PAD_ID, dtype=tgt.dtype)
+        full = jnp.concatenate([tgt, pad], axis=1)
+        logits = self._run_stack(encoder_out, full, deterministic=True)
+        bos_row = jnp.full((b, 1, logits.shape[-1]), float(BOS_ID),
+                           dtype=logits.dtype)
+        return jnp.concatenate([bos_row, logits[:, :-1]], axis=1)
+
+    # ------------------------------------------------------------------ #
+    # KV-cached incremental decode (TPU-native generation path)
+    # ------------------------------------------------------------------ #
+    def prepare_memory(self, encoder_out: jnp.ndarray
+                       ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Precompute per-layer cross-attention K/V from the encoder output
+        (+ its positional embedding).  Run once per image."""
+        memory = encoder_out.astype(self.dtype) + \
+            self.encoder_pos_embed.astype(self.dtype)
+        return [layer.cross_attn.project_kv(memory) for layer in self.layers]
+
+    def init_cache(self, batch: int, cache_len: int
+                   ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+        head_dim = self.dim // self.num_heads
+        shape = (batch, self.num_heads, cache_len, head_dim)
+        return [(jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype))
+                for _ in range(self.num_layers)]
+
+    def decode_step(self, token: jnp.ndarray, pos: jnp.ndarray,
+                    caches: List[Tuple[jnp.ndarray, jnp.ndarray]],
+                    mem_kvs: List[Tuple[jnp.ndarray, jnp.ndarray]],
+                    key_valid: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, List[Tuple[jnp.ndarray, jnp.ndarray]]]:
+        """Advance one position.  token: (B,) ids; pos: scalar int; key_valid:
+        (B, cache_len) bool marking attendable cache slots (non-pad positions
+        <= pos).  Returns (logits (B, V), updated caches)."""
+        pos_embed = jax.lax.dynamic_slice(
+            self.decoder_pos_embed.astype(self.dtype),
+            (0, pos, 0), (1, 1, self.dim))
+        x = self.embedding(token[:, None]) + pos_embed
+        new_caches = []
+        for layer, cache, mem_kv in zip(self.layers, caches, mem_kvs):
+            x, cache = layer.decode_step(x, cache, mem_kv, pos, key_valid)
+            new_caches.append(cache)
+        return self.output(x)[:, 0], new_caches

@@ -1,0 +1,88 @@
+"""Encoder–decoder composition with patch dropout.
+
+Reference (model.py:147-181): during training a random ``max(1, 2%)`` of the
+encoder's patch outputs are zeroed per sample via a Python loop of per-row
+``randperm``.  Here the same distribution is produced fully vectorized: one
+uniform score per patch per sample, the ``num_to_mask`` smallest are zeroed
+(a uniform random subset, exactly randperm's marginal law), with no host
+loop — the whole thing stays inside jit.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mdcnet_tpu.models.decoder import CaptionDecoder
+from mdcnet_tpu.models.vit import ViTEncoder
+
+Dtype = Any
+
+
+def patch_dropout_mask(rng: jax.Array, batch: int, num_patches: int,
+                       rate: float) -> jnp.ndarray:
+    """(B, N, 1) float mask zeroing a uniformly random ``max(1, int(N*rate))``
+    patches per sample (model.py:157-172)."""
+    num_to_mask = max(1, int(num_patches * rate))
+    scores = jax.random.uniform(rng, (batch, num_patches))
+    # threshold = num_to_mask-th smallest score per row
+    kth = jnp.sort(scores, axis=1)[:, num_to_mask - 1]
+    keep = scores > kth[:, None]
+    return keep.astype(jnp.float32)[..., None]
+
+
+class EncoderDecoder(nn.Module):
+    """Full image->sequence model (reference EncoderDecoder, model.py:147-181)."""
+
+    encoder: ViTEncoder
+    decoder: CaptionDecoder
+    patch_dropout_rate: float = 0.02
+
+    def __call__(self, images: jnp.ndarray, tgt: jnp.ndarray,
+                 deterministic: bool = True) -> jnp.ndarray:
+        encoder_out = self.encoder(images)
+        if not deterministic and self.patch_dropout_rate > 0:
+            rng = self.make_rng("patch_dropout")
+            mask = patch_dropout_mask(rng, encoder_out.shape[0],
+                                      encoder_out.shape[1],
+                                      self.patch_dropout_rate)
+            encoder_out = encoder_out * mask.astype(encoder_out.dtype)
+        return self.decoder(encoder_out, tgt, deterministic=deterministic)
+
+    def predict(self, images: jnp.ndarray, tgt: jnp.ndarray) -> jnp.ndarray:
+        """No patch dropout at inference (model.py:177-181)."""
+        return self.decoder.predict(self.encoder(images), tgt)
+
+    def encode(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.encoder(images)
+
+
+def build_model(cfg) -> EncoderDecoder:
+    """Construct the model from a ModelConfig."""
+    dtype = jnp.dtype(cfg.dtype)
+    param_dtype = jnp.dtype(cfg.param_dtype)
+    encoder = ViTEncoder(
+        patch_size=cfg.patch_size, dim=cfg.enc_dim, depth=cfg.enc_depth,
+        num_heads=cfg.enc_heads, mlp_ratio=cfg.enc_mlp_ratio,
+        layerscale_init=cfg.enc_layerscale_init, out_dim=cfg.enc_out_dim,
+        dtype=dtype, param_dtype=param_dtype)
+    if cfg.axial:
+        from mdcnet_tpu.models.axial import AxialCaptionDecoder
+        decoder = AxialCaptionDecoder(
+            vocab_size=cfg.vocab_size, encoder_length=cfg.num_patches,
+            dim=cfg.dec_dim, num_heads=cfg.dec_heads,
+            num_layers=cfg.dec_layers, ffn_dim=cfg.dec_ffn_dim,
+            max_len=cfg.max_len, dtype=dtype, param_dtype=param_dtype)
+        patch_rate = 0.0   # axial wrapper has no patch dropout (axial_model.py:161-174)
+    else:
+        decoder = CaptionDecoder(
+            vocab_size=cfg.vocab_size, encoder_length=cfg.num_patches,
+            dim=cfg.dec_dim, num_heads=cfg.dec_heads,
+            num_layers=cfg.dec_layers, ffn_dim=cfg.dec_ffn_dim,
+            max_len=cfg.max_len, pos_dropout=cfg.dec_pos_dropout,
+            dtype=dtype, param_dtype=param_dtype)
+        patch_rate = cfg.patch_dropout_rate
+    return EncoderDecoder(encoder=encoder, decoder=decoder,
+                          patch_dropout_rate=patch_rate)

@@ -1,0 +1,148 @@
+"""Shared transformer building blocks (flax.linen).
+
+Design notes (TPU-first):
+  - attention is computed in one fused einsum chain that XLA maps onto the
+    MXU; an optional Pallas flash-attention path (mdcnet_tpu/ops/attention.py)
+    takes over for long sequences.
+  - KV caching for autoregressive decode is explicit: ``decode_step`` writes
+    one position into a (B, H, L, Dh) cache with ``dynamic_update_slice`` so
+    generation is O(L) per step instead of the reference's O(L²) full
+    re-forward (model.py:92-127 re-runs the whole decoder every step).
+  - names mirror torch's TransformerDecoderLayer so a .pth checkpoint
+    converter can map parameters 1:1 (models/torch_convert.py).
+
+Decoder layers are *post-norm* (residual add, then LayerNorm) with ReLU FFN,
+matching torch ``nn.TransformerDecoderLayer`` defaults used by the reference
+(model.py:35-36).
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mdcnet_tpu.ops.masks import NEG_INF
+
+Dtype = Any
+
+
+def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """q: (B, H, Lq, Dh), k/v: (B, H, Lk, Dh), bias: broadcastable to
+    (B, H, Lq, Lk).  Softmax in float32 for stability; output in q.dtype."""
+    dh = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (dh ** -0.5)
+    if bias is not None:
+        scores = scores + bias
+    weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v,
+                      preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+class MultiHeadAttention(nn.Module):
+    """Torch-compatible MHA: packed qkv semantics, bias on all projections."""
+
+    dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def head_split(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, l, _ = x.shape
+        return x.reshape(b, l, self.num_heads, -1).transpose(0, 2, 1, 3)
+
+    def head_merge(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, l, dh = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, l, h * dh)
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.q_proj = nn.Dense(self.dim, **kw)
+        self.k_proj = nn.Dense(self.dim, **kw)
+        self.v_proj = nn.Dense(self.dim, **kw)
+        self.out_proj = nn.Dense(self.dim, **kw)
+
+    def __call__(self, query: jnp.ndarray, key: jnp.ndarray,
+                 value: jnp.ndarray, bias: Optional[jnp.ndarray] = None
+                 ) -> jnp.ndarray:
+        q = self.head_split(self.q_proj(query))
+        k = self.head_split(self.k_proj(key))
+        v = self.head_split(self.v_proj(value))
+        out = dot_product_attention(q, k, v, bias)
+        return self.out_proj(self.head_merge(out))
+
+    def project_kv(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Apply only the k/v projections (for KV-cache prefill)."""
+        return self.head_split(self.k_proj(x)), self.head_split(self.v_proj(x))
+
+
+class TorchDecoderLayer(nn.Module):
+    """Post-norm transformer decoder layer matching torch defaults:
+    self-attn -> add&norm -> cross-attn -> add&norm -> ReLU FFN -> add&norm,
+    dropout 0.1 on each sublayer output (nn.TransformerDecoderLayer)."""
+
+    dim: int
+    num_heads: int
+    ffn_dim: int = 2048
+    dropout: float = 0.1
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.self_attn = MultiHeadAttention(self.dim, self.num_heads, **kw)
+        self.cross_attn = MultiHeadAttention(self.dim, self.num_heads, **kw)
+        self.linear1 = nn.Dense(self.ffn_dim, **kw)
+        self.linear2 = nn.Dense(self.dim, **kw)
+        ln = lambda: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                  param_dtype=self.param_dtype)
+        self.norm1, self.norm2, self.norm3 = ln(), ln(), ln()
+        self.drop = nn.Dropout(self.dropout)
+
+    def __call__(self, tgt: jnp.ndarray, memory: jnp.ndarray,
+                 self_bias: Optional[jnp.ndarray],
+                 cross_bias: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        x = self.self_attn(tgt, tgt, tgt, self_bias)
+        tgt = self.norm1(tgt + self.drop(x, deterministic=deterministic))
+        x = self.cross_attn(tgt, memory, memory, cross_bias)
+        tgt = self.norm2(tgt + self.drop(x, deterministic=deterministic))
+        x = self.linear2(self.drop(nn.relu(self.linear1(tgt)),
+                                   deterministic=deterministic))
+        tgt = self.norm3(tgt + self.drop(x, deterministic=deterministic))
+        return tgt
+
+    def decode_step(self, tgt: jnp.ndarray, kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
+                    mem_kv: Tuple[jnp.ndarray, jnp.ndarray],
+                    pos: jnp.ndarray, key_valid: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """One-token decode. tgt: (B, 1, D); kv_cache: ((B,H,L,Dh) k, v);
+        mem_kv: precomputed cross-attention k/v; pos: scalar position;
+        key_valid: (B, L) bool — True for positions < pos+1 that hold
+        non-pad tokens.  Returns (out (B,1,D), updated kv_cache)."""
+        k_cache, v_cache = kv_cache
+        q = self.self_attn.head_split(self.self_attn.q_proj(tgt))
+        k_new = self.self_attn.head_split(self.self_attn.k_proj(tgt))
+        v_new = self.self_attn.head_split(self.self_attn.v_proj(tgt))
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, (0, 0, pos, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, (0, 0, pos, 0))
+
+        bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF
+                         ).astype(jnp.float32)
+        x = dot_product_attention(q, k_cache, v_cache, bias)
+        x = self.self_attn.out_proj(self.self_attn.head_merge(x))
+        tgt = self.norm1(tgt + x)
+
+        mk, mv = mem_kv
+        q = self.cross_attn.head_split(self.cross_attn.q_proj(tgt))
+        x = dot_product_attention(q, mk, mv)
+        x = self.cross_attn.out_proj(self.cross_attn.head_merge(x))
+        tgt = self.norm2(tgt + x)
+
+        x = self.linear2(nn.relu(self.linear1(tgt)))
+        tgt = self.norm3(tgt + x)
+        return tgt, (k_cache, v_cache)

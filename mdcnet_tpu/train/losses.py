@@ -1,0 +1,73 @@
+"""Training losses.
+
+The reference composite (train_val_epoch.py:353-365):
+  total = (1 - iou_w) * CE(ignore PAD) + l1_lambda * sum|params| + iou_w * GIoU
+
+where the GIoU term is computed from boxes decoded out of *top-k sampled
+integer tokens* (train_val_epoch.py:81,158,289) and therefore carries no
+gradient.  ``composite_loss`` replicates that by default
+(``replicate_nondiff_giou=True`` -> GIoU enters via stop_gradient so the loss
+*value* matches but, exactly like the reference, only CE+L1 produce grads).
+With the flag off, a differentiable expected-coordinate GIoU is used: box
+coordinates are decoded as softmax-expectations over the coordinate token
+window, giving real gradients through the box head.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mdcnet_tpu.config import PAD_ID
+from mdcnet_tpu.ops import boxes as box_ops
+
+
+def cross_entropy_ignore_pad(logits: jnp.ndarray, targets: jnp.ndarray,
+                             pad_id: int = PAD_ID) -> jnp.ndarray:
+    """Mean token CE over non-pad targets (torch CrossEntropyLoss with
+    ignore_index, trail_01.py:229). logits: (B, L, V), targets: (B, L)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    mask = (targets != pad_id).astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def l1_regularization(params) -> jnp.ndarray:
+    """sum(|p|) over every parameter (train_val_epoch.py:361)."""
+    leaves = jax.tree_util.tree_leaves(params)
+    return sum(jnp.sum(jnp.abs(p.astype(jnp.float32))) for p in leaves)
+
+
+def expected_boxes(logits: jnp.ndarray, label_positions: jnp.ndarray,
+                   num_bins: int) -> jnp.ndarray:
+    """Differentiable box decode: softmax-expected coordinate over the token
+    window [0, num_bins) at the 4 positions following each label position.
+
+    logits: (B, L, V); label_positions: (B,) index of the label token's
+    *logit* position.  Returns (B, 4) expected coordinates in bin units.
+    """
+    coord_logits = jax.vmap(
+        lambda lg, p: jax.lax.dynamic_slice(lg, (p + 1, 0), (4, lg.shape[1]))
+    )(logits, label_positions)
+    window = coord_logits[..., :num_bins].astype(jnp.float32)
+    probs = jax.nn.softmax(window, axis=-1)
+    bins = jnp.arange(num_bins, dtype=jnp.float32)
+    return jnp.einsum("bcv,v->bc", probs, bins)
+
+
+def composite_loss(logits: jnp.ndarray, targets: jnp.ndarray, params,
+                   giou_loss_value: jnp.ndarray,
+                   iou_loss_weight: float = 0.5,
+                   l1_lambda: float = 1e-7,
+                   replicate_nondiff_giou: bool = True
+                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """The reference total loss (train_val_epoch.py:364-365)."""
+    ce = cross_entropy_ignore_pad(logits, targets)
+    l1 = l1_regularization(params)
+    giou = (jax.lax.stop_gradient(giou_loss_value)
+            if replicate_nondiff_giou else giou_loss_value)
+    total = (1.0 - iou_loss_weight) * ce + l1_lambda * l1 + \
+        iou_loss_weight * giou
+    return total, {"ce_loss": ce, "l1_norm": l1, "giou_loss": giou,
+                   "total_loss": total}

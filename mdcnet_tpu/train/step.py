@@ -1,0 +1,122 @@
+"""Jitted train/eval steps.
+
+One fused XLA program per step: forward (teacher-forced, patch dropout),
+top-k sampling of predicted sequences, on-device box decode (lax.scan), GIoU
+loss, composite loss, backward, AdamW update — no host round-trips.  The
+reference runs the same logic as ~15 separate host-synced stages per batch
+(train_val_epoch.py:50-384, SURVEY §3.2).
+
+Step semantics preserved:
+  y_input = y[:, :-1]; y_expected = y[:, 1:]; preds = model(x, y_input)[:, :-1]
+  (train_val_epoch.py:52-59) — the model prepends BOS so logits align with
+  y_expected.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mdcnet_tpu.ops import boxes as box_ops
+from mdcnet_tpu.ops.sampling import top_k_sampling_with_scores
+from mdcnet_tpu.text import decode_jax
+from mdcnet_tpu.train import losses
+from mdcnet_tpu.train.state import TrainState, make_optimizer
+
+MAX_BOXES = 8  # decode slots per sequence; GC10 images carry <= 5 boxes
+
+
+def _box_metrics(sampled: jnp.ndarray, sampled_scores: jnp.ndarray,
+                 y_expected: jnp.ndarray, num_bins: int, width: int,
+                 height: int) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Decode sampled + GT sequences on device, return (giou_loss, metrics).
+
+    Box decode follows train_val_epoch.py:158-289: predicted boxes come from
+    top-k sampled tokens, GT boxes from y_expected, both through the
+    pixel-space rescale; GIoU loss uses the no-detection penalty variant.
+    """
+    pred = decode_jax.decode_groups(sampled, sampled_scores,
+                                    max_groups=MAX_BOXES)
+    gt = decode_jax.decode_groups(y_expected, max_groups=MAX_BOXES)
+
+    pred_boxes = decode_jax.rescale_boxes(pred.boxes, num_bins, width, height)
+    gt_boxes = decode_jax.rescale_boxes(gt.boxes, num_bins, width, height)
+    pred_mask = pred.valid_mask()
+    gt_mask = gt.valid_mask()
+
+    giou_loss, _ = box_ops.giou_loss_with_scores(
+        pred_boxes, pred_mask, gt_boxes, gt_mask)
+    mean_iou = box_ops.mean_max_iou(pred_boxes, pred_mask, gt_boxes, gt_mask)
+    n_pred = jnp.sum(pred_mask)
+    return giou_loss, {"mean_max_iou": mean_iou,
+                       "num_pred_boxes": n_pred.astype(jnp.float32)}
+
+
+def make_train_step(model, cfg):
+    """Build the jitted train step for a model + config."""
+    tx = make_optimizer(cfg.train)
+    num_bins = cfg.data.num_bins
+    width = height = cfg.data.img_size
+    iou_w = cfg.train.iou_loss_weight
+    l1_lambda = cfg.train.l1_lambda
+    replicate = cfg.train.replicate_nondiff_giou
+
+    def loss_fn(params, images, y, rngs):
+        y_input = y[:, :-1]
+        y_expected = y[:, 1:]
+        logits = model.apply({"params": params}, images, y_input,
+                             deterministic=False, rngs=rngs)
+        logits = logits[:, :-1]  # drop final step (train_val_epoch.py:59)
+
+        # top-k sample the predicted sequence for box decode
+        # (train_val_epoch.py:172-179 uses k=10 with scores)
+        sampled, scores = top_k_sampling_with_scores(
+            rngs["sampling"], logits, k=10)
+        giou_loss, box_metrics = _box_metrics(
+            sampled, scores, y_expected, num_bins, width, height)
+
+        total, metrics = losses.composite_loss(
+            logits, y_expected, params, giou_loss, iou_loss_weight=iou_w,
+            l1_lambda=l1_lambda, replicate_nondiff_giou=replicate)
+        metrics.update(box_metrics)
+        return total, metrics
+
+    @jax.jit
+    def train_step(state: TrainState, images: jnp.ndarray, y: jnp.ndarray
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        rngs, next_rng = state.next_rngs("dropout", "patch_dropout", "sampling")
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, metrics), grads = grad_fn(state.params["params"], images, y, rngs)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.params["params"])
+        params = optax.apply_updates(state.params["params"], updates)
+        new_state = TrainState(params={"params": params}, opt_state=opt_state,
+                               step=state.step + 1, rng=state.rng)
+        return new_state, metrics
+
+    @jax.jit
+    def eval_step(state: TrainState, images: jnp.ndarray, y: jnp.ndarray
+                  ) -> Dict[str, jnp.ndarray]:
+        """Validation step (valid_epoch_bbox, train_val_epoch.py:436-723):
+        same metric battery, deterministic forward, argmax sampling."""
+        y_input = y[:, :-1]
+        y_expected = y[:, 1:]
+        logits = model.apply(state.params, images, y_input,
+                             deterministic=True)
+        logits = logits[:, :-1]
+        sampled = jnp.argmax(logits, axis=-1)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        scores = jnp.take_along_axis(probs, sampled[..., None], axis=-1)[..., 0]
+        giou_loss, box_metrics = _box_metrics(
+            sampled, scores, y_expected, num_bins, width, height)
+        total, metrics = losses.composite_loss(
+            logits, y_expected, state.params["params"], giou_loss,
+            iou_loss_weight=iou_w, l1_lambda=l1_lambda,
+            replicate_nondiff_giou=True)
+        metrics.update(box_metrics)
+        return metrics
+
+    return train_step, eval_step

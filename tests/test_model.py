@@ -1,0 +1,134 @@
+"""Model forward/predict semantics and numerics tests."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdcnet_tpu.config import BOS_ID, PAD_ID, test_preset
+from mdcnet_tpu.models import build_model, interpolate_pos_embed
+from mdcnet_tpu.models.encdec import patch_dropout_mask
+from mdcnet_tpu.models.vit import adaptive_pool_matrix
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = test_preset().model
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    images = jnp.zeros((2, cfg.img_size, cfg.img_size, 3))
+    tgt = jnp.zeros((2, 10), jnp.int32)
+    params = model.init({"params": rng}, images, tgt)
+    return cfg, model, params
+
+
+class TestShapes:
+    def test_forward_prepends_bos(self, small_model):
+        cfg, model, params = small_model
+        images = jnp.ones((2, cfg.img_size, cfg.img_size, 3)) * 0.1
+        tgt = jnp.array([[300, 303, 270, 304, 263, 1, 1, 9, 9, 301]] * 2,
+                        jnp.int32)
+        logits = model.apply(params, images, tgt)
+        # (B, L+1, V): BOS column prepended (model.py:60-61)
+        assert logits.shape == (2, 11, cfg.vocab_size)
+
+    def test_predict_shape_and_bos_row(self, small_model):
+        cfg, model, params = small_model
+        images = jnp.ones((2, cfg.img_size, cfg.img_size, 3)) * 0.1
+        prefix = jnp.array([[BOS_ID, 303, 270]] * 2, jnp.int32)
+        out = model.apply(params, images, prefix, method="predict")
+        assert out.shape == (2, cfg.max_len - 1, cfg.vocab_size)
+        # first row is the pseudo-logit BOS splice (model.py:117-123)
+        assert np.all(np.asarray(out[:, 0]) == float(BOS_ID))
+
+    def test_encoder_output_geometry(self, small_model):
+        cfg, model, params = small_model
+        images = jnp.ones((2, cfg.img_size, cfg.img_size, 3))
+        enc = model.apply(params, images, method="encode")
+        assert enc.shape == (2, cfg.num_patches, cfg.enc_out_dim)
+
+
+class TestAdaptivePool:
+    @pytest.mark.parametrize("in_dim,out_dim", [(512, 1024), (1024, 256),
+                                                (512, 512), (768, 64)])
+    def test_matches_torch_adaptive_avg_pool(self, in_dim, out_dim):
+        torch = pytest.importorskip("torch")
+        x = np.random.default_rng(0).normal(size=(2, 7, in_dim)).astype(np.float32)
+        want = torch.nn.AdaptiveAvgPool1d(out_dim)(torch.tensor(x)).numpy()
+        got = x @ adaptive_pool_matrix(in_dim, out_dim)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestPosEmbedInterp:
+    @pytest.mark.parametrize("new_len", [5, 23, 99, 150])
+    def test_matches_torch_linear_interpolate(self, new_len):
+        torch = pytest.importorskip("torch")
+        pos = np.random.default_rng(1).normal(size=(1, 99, 16)).astype(np.float32)
+        want = torch.nn.functional.interpolate(
+            torch.tensor(pos).permute(0, 2, 1), size=new_len, mode="linear",
+            align_corners=False).permute(0, 2, 1).numpy()
+        got = np.asarray(interpolate_pos_embed(jnp.asarray(pos), new_len))
+        np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+class TestPatchDropout:
+    def test_masks_exactly_k_patches_per_sample(self):
+        rng = jax.random.PRNGKey(0)
+        mask = patch_dropout_mask(rng, batch=8, num_patches=196, rate=0.02)
+        zeros_per_row = np.asarray((mask[..., 0] == 0).sum(axis=1))
+        assert np.all(zeros_per_row == max(1, int(196 * 0.02)))
+
+    def test_applied_only_in_training(self, small_model):
+        cfg, model, params = small_model
+        images = jnp.ones((2, cfg.img_size, cfg.img_size, 3)) * 0.3
+        tgt = jnp.array([[300, 303, 270, 304]] * 2, jnp.int32)
+        eval_logits = model.apply(params, images, tgt, deterministic=True)
+        train_logits = model.apply(
+            params, images, tgt, deterministic=False,
+            rngs={"patch_dropout": jax.random.PRNGKey(1),
+                  "dropout": jax.random.PRNGKey(2)})
+        assert not np.allclose(np.asarray(eval_logits),
+                               np.asarray(train_logits))
+        # eval path is deterministic
+        eval2 = model.apply(params, images, tgt, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(eval_logits), np.asarray(eval2))
+
+
+class TestMaskingBehavior:
+    def test_causal(self, small_model):
+        """Changing a later target token must not affect earlier logits."""
+        cfg, model, params = small_model
+        images = jnp.ones((2, cfg.img_size, cfg.img_size, 3)) * 0.1
+        tgt1 = jnp.array([[300, 303, 270, 271, 304, 263]] * 2, jnp.int32)
+        tgt2 = tgt1.at[:, -1].set(261)
+        l1 = model.apply(params, images, tgt1)
+        l2 = model.apply(params, images, tgt2)
+        np.testing.assert_allclose(np.asarray(l1[:, :6]),
+                                   np.asarray(l2[:, :6]), atol=1e-6)
+
+    def test_predict_prefix_logits_independent_of_prefix_length(self, small_model):
+        """predict pads to max_len-1 (model.py:92-95); logits at the original
+        prefix positions must not change when the prefix grows — the property
+        KV-cached generation relies on."""
+        cfg, model, params = small_model
+        images = jnp.ones((2, cfg.img_size, cfg.img_size, 3)) * 0.1
+        short = jnp.array([[BOS_ID, 303, 270, 304]] * 2, jnp.int32)
+        longer = jnp.concatenate(
+            [short, jnp.array([[263, 5]] * 2, jnp.int32)], axis=1)
+        ls = model.apply(params, images, short, method="predict")
+        ll = model.apply(params, images, longer, method="predict")
+        np.testing.assert_allclose(np.asarray(ls[:, :5]), np.asarray(ll[:, :5]),
+                                   rtol=2e-4, atol=2e-5)
+
+
+class TestAxialVariant:
+    def test_no_bos_prepend_and_runs(self):
+        cfg = test_preset().model
+        cfg = type(cfg)(**{**cfg.__dict__, "axial": True})
+        model = build_model(cfg)
+        rng = jax.random.PRNGKey(0)
+        images = jnp.zeros((2, cfg.img_size, cfg.img_size, 3))
+        tgt = jnp.zeros((2, 10), jnp.int32)
+        params = model.init({"params": rng}, images, tgt)
+        logits = model.apply(params, images, tgt)
+        # no BOS prepend (axial_model.py:88-101): L stays 10
+        assert logits.shape == (2, 10, cfg.vocab_size)

@@ -1,0 +1,110 @@
+"""Training step tests: loss semantics, schedule, and one optimization step."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdcnet_tpu.config import PAD_ID, test_preset
+from mdcnet_tpu.models import build_model
+from mdcnet_tpu.train import losses
+from mdcnet_tpu.train.schedule import cyclic_triangular
+from mdcnet_tpu.train.state import create_train_state
+from mdcnet_tpu.train.step import make_train_step
+
+
+class TestLosses:
+    def test_ce_matches_torch_ignore_index(self):
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(0)
+        logits = rng.normal(size=(2, 6, 310)).astype(np.float32)
+        targets = rng.integers(0, 305, size=(2, 6))
+        targets[0, 4:] = PAD_ID
+        want = torch.nn.functional.cross_entropy(
+            torch.tensor(logits).reshape(-1, 310),
+            torch.tensor(targets).reshape(-1), ignore_index=PAD_ID).item()
+        got = float(losses.cross_entropy_ignore_pad(
+            jnp.asarray(logits), jnp.asarray(targets)))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    def test_l1_is_sum_of_abs(self):
+        params = {"a": jnp.array([1.0, -2.0]), "b": {"c": jnp.array([[3.0]])}}
+        assert float(losses.l1_regularization(params)) == 6.0
+
+    def test_composite_weighting(self):
+        logits = jnp.zeros((1, 3, 10))
+        targets = jnp.array([[1, 2, 3]])
+        params = {"w": jnp.array([2.0])}
+        total, m = losses.composite_loss(logits, targets, params,
+                                         jnp.asarray(0.8),
+                                         iou_loss_weight=0.5, l1_lambda=1e-7)
+        want = 0.5 * m["ce_loss"] + 1e-7 * 2.0 + 0.5 * 0.8
+        np.testing.assert_allclose(float(total), float(want), rtol=1e-6)
+
+    def test_nondiff_giou_carries_no_gradient(self):
+        def f(g):
+            total, _ = losses.composite_loss(
+                jnp.zeros((1, 2, 5)), jnp.array([[1, 2]]), {"w": jnp.ones(1)},
+                g, replicate_nondiff_giou=True)
+            return total
+        assert float(jax.grad(f)(jnp.asarray(0.7))) == 0.0
+        def f2(g):
+            total, _ = losses.composite_loss(
+                jnp.zeros((1, 2, 5)), jnp.array([[1, 2]]), {"w": jnp.ones(1)},
+                g, replicate_nondiff_giou=False)
+            return total
+        assert float(jax.grad(f2)(jnp.asarray(0.7))) == 0.5
+
+
+class TestSchedule:
+    def test_matches_torch_cyclic_lr(self):
+        torch = pytest.importorskip("torch")
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=1e-5)
+        sched = torch.optim.lr_scheduler.CyclicLR(
+            opt, base_lr=1e-7, max_lr=1e-4, step_size_up=5,
+            mode="triangular", cycle_momentum=False)
+        ours = cyclic_triangular(1e-7, 1e-4, 5)
+        for step in range(23):
+            want = opt.param_groups[0]["lr"]
+            got = float(ours(step))
+            np.testing.assert_allclose(got, want, rtol=1e-6,
+                                       err_msg=f"step {step}")
+            opt.step()
+            sched.step()
+
+
+class TestTrainStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = test_preset()
+        model = build_model(cfg.model)
+        rng = jax.random.PRNGKey(0)
+        images = jax.random.uniform(
+            rng, (2, cfg.data.img_size, cfg.data.img_size, 3))
+        y = np.full((2, cfg.data.max_len), PAD_ID, np.int32)
+        seq = [300, 303, 270, 271, 304, 263, 10, 20, 110, 120, 301]
+        y[:, :len(seq)] = seq
+        y = jnp.asarray(y)
+        state = create_train_state(model, cfg, rng, images, y[:, :-1])
+        return cfg, model, state, images, y
+
+    def test_step_decreases_ce(self, setup):
+        cfg, model, state, images, y = setup
+        train_step, eval_step = make_train_step(model, cfg)
+        m0 = eval_step(state, images, y)
+        for _ in range(4):
+            state, metrics = train_step(state, images, y)
+        m1 = eval_step(state, images, y)
+        assert float(m1["ce_loss"]) < float(m0["ce_loss"])
+        assert int(state.step) == 4
+        for key in ("ce_loss", "giou_loss", "total_loss", "l1_norm",
+                    "mean_max_iou"):
+            assert key in metrics
+
+    def test_metrics_finite(self, setup):
+        cfg, model, state, images, y = setup
+        train_step, _ = make_train_step(model, cfg)
+        _, metrics = train_step(state, images, y)
+        for k, v in metrics.items():
+            if k == "mean_max_iou":
+                continue  # may be nan when nothing decodes early in training
+            assert np.isfinite(float(v)), k
