@@ -1,0 +1,213 @@
+"""Command-line entry points: train / infer / eval / benchmark.
+
+The reference's drivers are hardcoded-path scripts executed top to bottom
+(trail_01.py, inference_p.py, SURVEY §5.6).  Here one argparse CLI exposes
+the same workflows with the preset geometries:
+
+  python -m mdcnet_tpu.cli.main train --annotations a.txt --images dir/
+  python -m mdcnet_tpu.cli.main infer --annotations a.txt --images dir/ \\
+      --checkpoint ckpts/ --beam 3
+  python -m mdcnet_tpu.cli.main eval --annotations a.txt --images dir/
+  python -m mdcnet_tpu.cli.main benchmark
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+
+import numpy as np
+
+
+def _add_common(p):
+    p.add_argument("--annotations", default="", help="annotation txt path")
+    p.add_argument("--images", default="", help="image folder")
+    p.add_argument("--preset", default="large",
+                   choices=["large", "neu", "tiny", "test"])
+    p.add_argument("--synthetic-images", action="store_true",
+                   help="use synthetic pixels (no image files needed)")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--axial", action="store_true",
+                   help="use the axial-attention decoder variant")
+
+
+def get_config(args):
+    from mdcnet_tpu import config as C
+    cfg = {"large": C.large_preset, "neu": C.neu_preset,
+           "tiny": C.tiny_preset, "test": C.test_preset}[args.preset]()
+    if args.batch_size:
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, batch_size=args.batch_size))
+    if getattr(args, "axial", False):
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, axial=True))
+    return cfg
+
+
+def load_data(args, cfg):
+    from mdcnet_tpu.data import annotations as ann
+    from mdcnet_tpu.text import SeqTokenizer, gc10_vocabulary
+
+    records = ann.txt_file_to_records(args.annotations, args.images)
+    if not args.synthetic_images:
+        records = ann.filter_existing_images(records)
+    vocab = gc10_vocabulary(records["caption"].tolist(),
+                            cfg.data.freq_threshold)
+    tokenizer = SeqTokenizer(vocab, num_classes=cfg.data.num_classes,
+                             num_bins=cfg.data.num_bins,
+                             width=cfg.data.img_size,
+                             height=cfg.data.img_size,
+                             max_len=cfg.data.max_len)
+    # decoder vocab must cover word vocab + codes (trail_01.py:108-115)
+    cfg = cfg.replace(model=dataclasses.replace(
+        cfg.model, vocab_size=tokenizer.total_vocab_size))
+    return records, tokenizer, cfg
+
+
+def cmd_train(args):
+    from mdcnet_tpu.train.loop import train_from_config
+    from mdcnet_tpu.utils.logging import MetricLogger
+
+    cfg = get_config(args)
+    if args.epochs:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    epochs=args.epochs))
+    if args.checkpoint_dir:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, checkpoint_dir=args.checkpoint_dir))
+    records, tokenizer, cfg = load_data(args, cfg)
+    logger = MetricLogger(csv_path=args.log_csv or None,
+                          use_wandb=args.wandb)
+    state = train_from_config(cfg, records, tokenizer, logger=logger,
+                              synthetic_images=args.synthetic_images)
+    print(f"done: {int(state.step)} steps")
+
+
+def cmd_infer(args):
+    import jax
+    import jax.numpy as jnp
+    from mdcnet_tpu.data.pipeline import make_loaders
+    from mdcnet_tpu.data.augment import preprocess
+    from mdcnet_tpu.infer import beam_search, generate, postprocess
+    from mdcnet_tpu.models import build_model
+
+    cfg = get_config(args)
+    records, tokenizer, cfg = load_data(args, cfg)
+    model = build_model(cfg.model)
+    _, _, test_loader = make_loaders(records, tokenizer, cfg.data,
+                                     synthetic_images=args.synthetic_images)
+    rng = jax.random.PRNGKey(0)
+    params = None
+    for batch in test_loader:
+        images = preprocess(jnp.asarray(batch.images), rng,
+                            cfg.data.img_size, train=False)
+        if params is None:
+            params = jax.jit(model.init)(
+                {"params": jax.random.PRNGKey(1)}, images,
+                jnp.zeros((images.shape[0], 10), jnp.int32))
+            if args.checkpoint:
+                from mdcnet_tpu.models.torch_convert import (convert_state_dict,
+                                                             load_pth)
+                if args.checkpoint.endswith(".pth"):
+                    params = convert_state_dict(load_pth(args.checkpoint),
+                                                cfg.model.enc_depth,
+                                                cfg.model.dec_layers)
+        if args.beam > 1:
+            out = beam_search(model, params, images,
+                              steps=cfg.infer.generation_steps,
+                              beam_size=args.beam)
+            tokens = np.asarray(out.tokens[:, 0])
+            confs = np.exp(np.asarray(out.log_probs[:, :1]))
+        else:
+            res = generate(model, params, images, rng,
+                           steps=cfg.infer.generation_steps,
+                           top_k=cfg.infer.top_k, top_p=cfg.infer.top_p)
+            tokens, confs = np.asarray(res.tokens), np.asarray(res.confs)
+        bboxes, labels, captions, cf = postprocess(tokens, confs, tokenizer)
+        for i in range(len(labels)):
+            print(json.dumps({"labels": labels[i], "bboxes": bboxes[i],
+                              "caption": captions[i]}))
+        break  # one batch per invocation keeps the smoke path fast
+
+
+def cmd_eval(args):
+    import jax
+    import jax.numpy as jnp
+    from mdcnet_tpu.data.augment import preprocess
+    from mdcnet_tpu.data.pipeline import make_loaders
+    from mdcnet_tpu.evals import MeanAveragePrecision, calculate_bleu_scores
+    from mdcnet_tpu.infer import generate
+    from mdcnet_tpu.models import build_model
+    from mdcnet_tpu.text import decode_jax
+
+    cfg = get_config(args)
+    records, tokenizer, cfg = load_data(args, cfg)
+    model = build_model(cfg.model)
+    _, valid_loader, _ = make_loaders(records, tokenizer, cfg.data,
+                                      synthetic_images=args.synthetic_images)
+    rng = jax.random.PRNGKey(0)
+    map_metric = MeanAveragePrecision(iou_threshold=0.3, class_metrics=True)
+    bleus = []
+    params = None
+    for batch in valid_loader:
+        images = preprocess(jnp.asarray(batch.images), rng,
+                            cfg.data.img_size, train=False)
+        if params is None:
+            params = jax.jit(model.init)(
+                {"params": jax.random.PRNGKey(1)}, images,
+                jnp.zeros((images.shape[0], 10), jnp.int32))
+        res = generate(model, params, images, rng,
+                       steps=cfg.infer.generation_steps)
+        pred = decode_jax.decode_groups(res.tokens, max_groups=8)
+        gt = decode_jax.decode_groups(jnp.asarray(batch.tokens), max_groups=8)
+        for i in range(images.shape[0]):
+            n_p, n_g = int(pred.count[i]), int(gt.count[i])
+            map_metric.update(
+                [{"boxes": np.asarray(pred.boxes[i][:n_p]),
+                  "scores": np.ones(n_p), "labels": np.asarray(pred.labels[i][:n_p])}],
+                [{"boxes": np.asarray(gt.boxes[i][:n_g]),
+                  "labels": np.asarray(gt.labels[i][:n_g])}])
+            ref = tokenizer.decode_captions(batch.tokens[i]).tolist()
+            hyp = tokenizer.decode_captions(np.asarray(res.tokens[i])).tolist()
+            bleus.extend(calculate_bleu_scores([ref], [hyp]))
+        break
+    print(json.dumps({"map@0.3": map_metric.compute()["map"],
+                      "bleu": float(np.mean(bleus)) if bleus else 0.0}))
+
+
+def cmd_benchmark(args):
+    import bench
+    bench.main()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="mdcnet_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("train")
+    _add_common(p)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--log-csv", default="")
+    p.add_argument("--wandb", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("infer")
+    _add_common(p)
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--beam", type=int, default=1)
+    p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("eval")
+    _add_common(p)
+    p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("benchmark")
+    p.set_defaults(fn=cmd_benchmark)
+
+    args = parser.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -108,6 +108,7 @@ class ModelConfig:
     num_patches: int = 196
     patch_dropout_rate: float = 0.02  # model.py:148
     axial: bool = False            # use the axial-attention decoder variant
+    kv_quant: bool = False         # int8 KV caches for decode (perf mode)
     # numerics
     dtype: str = "bfloat16"        # compute dtype on TPU
     param_dtype: str = "float32"

@@ -1,0 +1,187 @@
+"""Input pipeline: host decode -> uint8 batches -> device preprocess.
+
+The reference pipeline (VOCDataset + DataLoader, data_processing.py:110-219)
+decodes, augments, resizes, normalizes and tokenizes per item on the host in
+worker subprocesses, shipping float32 tensors.  TPU-native layout instead:
+
+  host: image decode (PIL/cv2) + tokenization + padding only -> fixed-shape
+        uint8 image batches and int32 token batches (4x less transfer than
+        float32, and augmentation moves on-device);
+  device: augment/resize/normalize fused into the train step's XLA program
+          (mdcnet_tpu/data/augment.py);
+  a background prefetch thread keeps ``prefetch_depth`` batches in flight so
+  host decode overlaps device compute.
+
+Semantics preserved: per-image token sequence built by the tokenizer
+(one (label, bbox, caption) triple per row like VOCDataset._flatten_dataframe),
+bboxes scaled to the resized image before quantization (the reference's
+albumentations Resize happens before tokenization), per-batch right-padding
+with PAD to max_len, train/valid/test three-way split with the reference's
+exact sklearn seeds (splits.py).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from mdcnet_tpu.config import PAD_ID, DataConfig
+from mdcnet_tpu.data import annotations as ann
+from mdcnet_tpu.data.splits import three_way_split
+from mdcnet_tpu.text.tokenizer import SeqTokenizer
+
+
+def load_image(path: str) -> Optional[np.ndarray]:
+    """Decode one image to uint8 RGB (HWC). Returns None when missing,
+    mirroring VOCDataset's skip-on-missing (data_processing.py:133-135)."""
+    try:
+        from PIL import Image
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except (FileNotFoundError, OSError):
+        return None
+
+
+@dataclass
+class Batch:
+    images: np.ndarray        # (B, H, W, 3) uint8
+    tokens: np.ndarray        # (B, max_len) int32, right-padded with PAD
+    boxes: np.ndarray         # (B, 4) float32 pixel boxes (resized space)
+    labels: np.ndarray        # (B,) int64
+
+
+class SteelDefectDataset:
+    """Flattened (image, bbox, caption, label) rows -> tokenized examples."""
+
+    def __init__(self, records, tokenizer: SeqTokenizer, cfg: DataConfig,
+                 synthetic_images: bool = False, native_size: int = 256):
+        self.records = records
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.synthetic = synthetic_images
+        self.native_size = native_size
+        self._boxes = ann.boxes_of(records)
+
+    def __len__(self) -> int:
+        return ann.num_rows(self.records)
+
+    def example(self, i: int) -> Optional[Tuple[np.ndarray, List[int],
+                                                np.ndarray, int]]:
+        path = self.records["img_path"][i]
+        if self.synthetic:
+            rng = np.random.default_rng(i)
+            img = rng.integers(0, 255, (self.native_size, self.native_size, 3),
+                               dtype=np.uint8)
+        else:
+            img = load_image(path)
+            if img is None:
+                return None
+        h, w = img.shape[:2]
+        size = self.cfg.img_size
+        # bbox in resized-image space before tokenization
+        # (albumentations Resize with pascal_voc bbox_params, dataset.py:102-104)
+        box = self._boxes[i] * np.array([size / w, size / h,
+                                         size / w, size / h])
+        # guard out-of-bounds boxes (real images keep boxes in-bounds by
+        # construction; the synthetic path and malformed annotations don't)
+        box = np.clip(box, 0.0, size)
+        if box[2] <= box[0]:
+            box[2] = min(box[0] + 1.0, size)
+        if box[3] <= box[1]:
+            box[3] = min(box[1] + 1.0, size)
+        seq = self.tokenizer.process_single_pair(
+            int(self.records["label"][i]), box,
+            str(self.records["caption"][i]))
+        return img, seq, box.astype(np.float32), int(self.records["label"][i])
+
+
+def collate(examples, max_len: int, image_hw: int) -> Batch:
+    """Right-pad sequences with PAD and stack uint8 images resized on host to
+    a common native grid (device does the final resize+normalize)."""
+    b = len(examples)
+    images = np.zeros((b, image_hw, image_hw, 3), np.uint8)
+    tokens = np.full((b, max_len), PAD_ID, np.int32)
+    boxes = np.zeros((b, 4), np.float32)
+    labels = np.zeros((b,), np.int64)
+    for i, (img, seq, box, label) in enumerate(examples):
+        if img.shape[:2] != (image_hw, image_hw):
+            from PIL import Image
+            img = np.asarray(Image.fromarray(img).resize(
+                (image_hw, image_hw)), dtype=np.uint8)
+        images[i] = img
+        tokens[i, : min(len(seq), max_len)] = seq[:max_len]
+        boxes[i] = box
+        labels[i] = label
+    return Batch(images=images, tokens=tokens, boxes=boxes, labels=labels)
+
+
+class DataLoader:
+    """Batched iterator with background prefetch."""
+
+    def __init__(self, dataset: SteelDefectDataset, batch_size: int,
+                 shuffle: bool = False, seed: int = 42,
+                 drop_last: bool = True, prefetch_depth: int = 2,
+                 image_hw: Optional[int] = None):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch_depth = prefetch_depth
+        self.image_hw = image_hw or dataset.cfg.img_size
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(idx)
+        return idx
+
+    def _produce(self, out_q: "queue.Queue"):
+        idx = self._indices()
+        step = self.batch_size
+        stop = len(idx) - (len(idx) % step) if self.drop_last else len(idx)
+        for s in range(0, stop, step):
+            chunk = idx[s: s + step]
+            examples = [e for e in (self.ds.example(int(i)) for i in chunk)
+                        if e is not None]
+            if not examples:
+                continue
+            out_q.put(collate(examples, self.ds.cfg.max_len, self.image_hw))
+        out_q.put(None)
+
+    def __iter__(self) -> Iterator[Batch]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_depth)
+        t = threading.Thread(target=self._produce, args=(q,), daemon=True)
+        t.start()
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            yield batch
+        self._epoch += 1
+
+
+def make_loaders(records, tokenizer: SeqTokenizer, cfg: DataConfig,
+                 synthetic_images: bool = False
+                 ) -> Tuple[DataLoader, DataLoader, DataLoader]:
+    """Three-way split + loaders matching get_loaders
+    (data_processing.py:165-219): train shuffled at cfg.batch_size; valid
+    at cfg.batch_size; test at batch 2 (the reference hardcodes it)."""
+    tr, va, te = three_way_split(ann.num_rows(records), cfg.valid_size,
+                                 cfg.test_size, cfg.split_seed)
+    mk = lambda idx: SteelDefectDataset(ann.take(records, idx), tokenizer,
+                                        cfg, synthetic_images)
+    train = DataLoader(mk(tr), cfg.batch_size, shuffle=True,
+                       seed=cfg.split_seed)
+    valid = DataLoader(mk(va), cfg.batch_size, shuffle=False)
+    test = DataLoader(mk(te), 2, shuffle=False, drop_last=False)
+    return train, valid, test

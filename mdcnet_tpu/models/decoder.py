@@ -60,6 +60,7 @@ class CaptionDecoder(nn.Module):
     layer_dropout: float = 0.1         # torch TransformerDecoderLayer default
     prepend_bos: bool = True           # axial variant skips the BOS prepend
     torch_float_padmask: bool = False  # reproduce utils.py:29 float-mask bug
+    kv_quant: bool = False             # int8 KV caches (halves decode traffic)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -142,13 +143,25 @@ class CaptionDecoder(nn.Module):
                        ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
         """Precompute per-layer cross-attention K/V from the encoder output
         (+ its positional embedding).  Run once per image."""
+        from mdcnet_tpu.ops import kv_quant
+
         memory = encoder_out.astype(self.dtype) + \
             self.encoder_pos_embed.astype(self.dtype)
-        return [layer.cross_attn.project_kv(memory) for layer in self.layers]
+        kvs = [layer.cross_attn.project_kv(memory) for layer in self.layers]
+        if self.kv_quant:
+            kvs = [(kv_quant.quantize(k), kv_quant.quantize(v))
+                   for k, v in kvs]
+        return kvs
 
     def init_cache(self, batch: int, cache_len: int
                    ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+        from mdcnet_tpu.ops import kv_quant
+
         head_dim = self.dim // self.num_heads
+        if self.kv_quant:
+            mk = lambda: kv_quant.init_cache(batch, self.num_heads, cache_len,
+                                             head_dim)
+            return [(mk(), mk()) for _ in range(self.num_layers)]
         shape = (batch, self.num_heads, cache_len, head_dim)
         return [(jnp.zeros(shape, self.dtype), jnp.zeros(shape, self.dtype))
                 for _ in range(self.num_layers)]

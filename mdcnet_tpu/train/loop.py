@@ -1,0 +1,121 @@
+"""Epoch-level training driver.
+
+Reference flow (train_eval, trail_01.py:168-205): per epoch run train_epoch,
+valid_epoch_bbox and test_epoch; checkpoint when validation avg-GIoU improves
+(lower = better); early-stop after ``patience`` stagnant epochs.
+
+TPU mechanics: batches stream from the prefetching DataLoader as uint8; the
+device-side preprocess (augment/resize/normalize) happens inside the same
+XLA program as the train step; metrics stay on device as running sums and
+are fetched once per epoch (the reference syncs per batch, SURVEY §3.2).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdcnet_tpu.data.augment import preprocess
+from mdcnet_tpu.evals.meters import AvgMeter
+from mdcnet_tpu.train.checkpoint import CheckpointManager
+from mdcnet_tpu.train.state import TrainState, create_train_state
+from mdcnet_tpu.train.step import make_train_step
+
+
+class Trainer:
+    def __init__(self, model, cfg, logger=None,
+                 checkpoints: Optional[CheckpointManager] = None):
+        self.model = model
+        self.cfg = cfg
+        self.logger = logger
+        self.ckpt = checkpoints
+        self.train_step, self.eval_step = make_train_step(model, cfg)
+        self.best_metric = float("inf")
+        self.epochs_since_improvement = 0
+        self._aug_rng = jax.random.PRNGKey(cfg.train.seed + 17)
+
+    def _prep(self, batch, train: bool):
+        self._aug_rng, key = jax.random.split(self._aug_rng)
+        images = preprocess(jnp.asarray(batch.images), key,
+                            self.cfg.data.img_size, train=train,
+                            bc_p=self.cfg.data.brightness_contrast_p,
+                            gauss_p=self.cfg.data.gaussian_blur_p,
+                            motion_p=self.cfg.data.motion_blur_p)
+        return images, jnp.asarray(batch.tokens)
+
+    def train_epoch(self, state: TrainState, loader) -> Dict[str, float]:
+        meters: Dict[str, AvgMeter] = {}
+        for batch in loader:
+            images, tokens = self._prep(batch, train=True)
+            state, metrics = self.train_step(state, images, tokens)
+            n = batch.images.shape[0]
+            for k, v in metrics.items():
+                meters.setdefault(k, AvgMeter(k)).update(float(v), n)
+        self.state = state
+        return {k: m.avg for k, m in meters.items()}
+
+    def valid_epoch(self, state: TrainState, loader) -> Dict[str, float]:
+        meters: Dict[str, AvgMeter] = {}
+        for batch in loader:
+            images, tokens = self._prep(batch, train=False)
+            metrics = self.eval_step(state, images, tokens)
+            n = batch.images.shape[0]
+            for k, v in metrics.items():
+                val = float(v)
+                if np.isnan(val):
+                    continue
+                meters.setdefault(k, AvgMeter(k)).update(val, n)
+        return {k: m.avg for k, m in meters.items()}
+
+    def fit(self, state: TrainState, train_loader, valid_loader,
+            epochs: Optional[int] = None) -> TrainState:
+        epochs = epochs or self.cfg.train.epochs
+        patience = self.cfg.train.patience
+        for epoch in range(epochs):
+            train_metrics = self.train_epoch(state, train_loader)
+            state = self.state
+            valid_metrics = self.valid_epoch(state, valid_loader)
+            if self.logger is not None:
+                self.logger.log({f"train/{k}": v
+                                 for k, v in train_metrics.items()},
+                                step=int(state.step))
+                self.logger.log({f"valid/{k}": v
+                                 for k, v in valid_metrics.items()},
+                                step=int(state.step))
+
+            # improvement = lower validation avg GIoU loss (trail_01.py:193)
+            metric = valid_metrics.get("giou_loss", float("inf"))
+            if metric < self.best_metric:
+                self.best_metric = metric
+                self.epochs_since_improvement = 0
+                if self.ckpt is not None:
+                    self.ckpt.save(state)
+            else:
+                self.epochs_since_improvement += 1
+            if self.epochs_since_improvement >= patience:
+                break
+        return state
+
+
+def train_from_config(cfg, records, tokenizer, logger=None,
+                      synthetic_images: bool = False,
+                      epochs: Optional[int] = None) -> TrainState:
+    """Full training entry: build loaders, model, state; run fit()."""
+    from mdcnet_tpu.data.pipeline import make_loaders
+    from mdcnet_tpu.models import build_model
+
+    train_loader, valid_loader, _ = make_loaders(
+        records, tokenizer, cfg.data, synthetic_images=synthetic_images)
+    model = build_model(cfg.model)
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    sample_images = jnp.zeros((cfg.data.batch_size, cfg.data.img_size,
+                               cfg.data.img_size, 3))
+    sample_tgt = jnp.zeros((cfg.data.batch_size, cfg.data.max_len - 1),
+                           jnp.int32)
+    state = create_train_state(model, cfg, rng, sample_images, sample_tgt)
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir,
+                             cfg.train.keep_checkpoints)
+    trainer = Trainer(model, cfg, logger=logger, checkpoints=ckpt)
+    return trainer.fit(state, train_loader, valid_loader, epochs=epochs)

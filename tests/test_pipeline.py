@@ -1,0 +1,113 @@
+"""Data pipeline + augmentation + trainer smoke tests (synthetic images)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdcnet_tpu.config import PAD_ID, test_preset
+from mdcnet_tpu.data import annotations as ann
+from mdcnet_tpu.data.augment import preprocess, normalize, scale_boxes
+from mdcnet_tpu.data.pipeline import DataLoader, SteelDefectDataset, make_loaders
+from tests.test_text import make_tokenizer
+
+
+def synthetic_records(n=40):
+    lines = ["header"]
+    classes = list(range(258, 268))
+    for i in range(n):
+        cls = classes[i % 10]
+        lines.append(f"img_{i:03d}.jpg,x,{cls},10,20,110,120,"
+                     "The defect silk_spot is located at the center of the image.")
+    return ann.parse_annotation_lines(lines, "/data")
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return test_preset().data
+
+
+class TestAugment:
+    def test_normalize_range(self):
+        img = jnp.full((1, 8, 8, 3), 255.0)
+        out = normalize(img)
+        np.testing.assert_allclose(
+            np.asarray(out[0, 0, 0]),
+            (1.0 - np.array([0.485, 0.456, 0.406])) / np.array([0.229, 0.224, 0.225]),
+            rtol=1e-5)
+
+    def test_eval_preprocess_deterministic(self):
+        imgs = np.random.default_rng(0).integers(0, 255, (2, 64, 64, 3),
+                                                 dtype=np.uint8)
+        a = preprocess(jnp.asarray(imgs), jax.random.PRNGKey(0), 32, train=False)
+        b = preprocess(jnp.asarray(imgs), jax.random.PRNGKey(9), 32, train=False)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert a.shape == (2, 32, 32, 3)
+
+    def test_train_preprocess_stochastic_but_bounded(self):
+        imgs = np.random.default_rng(0).integers(0, 255, (4, 64, 64, 3),
+                                                 dtype=np.uint8)
+        a = preprocess(jnp.asarray(imgs), jax.random.PRNGKey(0), 32, train=True)
+        b = preprocess(jnp.asarray(imgs), jax.random.PRNGKey(1), 32, train=True)
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+        assert np.isfinite(np.asarray(a)).all()
+
+    def test_scale_boxes(self):
+        boxes = jnp.asarray([[10.0, 20.0, 110.0, 120.0]])
+        out = scale_boxes(boxes, (200, 100), 224)  # h=200, w=100
+        np.testing.assert_allclose(
+            np.asarray(out[0]), [10 * 2.24, 20 * 1.12, 110 * 2.24, 120 * 1.12])
+
+
+class TestLoader:
+    def test_batches_have_fixed_shapes(self, cfg):
+        rec = synthetic_records(20)
+        tok = make_tokenizer(max_len=cfg.max_len)
+        ds = SteelDefectDataset(rec, tok, cfg, synthetic_images=True)
+        loader = DataLoader(ds, batch_size=4)
+        batches = list(loader)
+        assert len(batches) == 5
+        for b in batches:
+            assert b.images.shape == (4, cfg.img_size, cfg.img_size, 3)
+            assert b.images.dtype == np.uint8
+            assert b.tokens.shape == (4, cfg.max_len)
+            assert (b.tokens[:, 0] == 300).all()  # BOS first
+
+    def test_shuffle_changes_order_but_not_content(self, cfg):
+        rec = synthetic_records(16)
+        tok = make_tokenizer(max_len=cfg.max_len)
+        ds = SteelDefectDataset(rec, tok, cfg, synthetic_images=True)
+        l1 = DataLoader(ds, batch_size=16, shuffle=True, seed=1)
+        l2 = DataLoader(ds, batch_size=16, shuffle=True, seed=2)
+        b1, b2 = next(iter(l1)), next(iter(l2))
+        assert not np.array_equal(b1.labels, b2.labels)
+        assert sorted(b1.labels.tolist()) == sorted(b2.labels.tolist())
+
+    def test_make_loaders_split_sizes(self, cfg):
+        rec = synthetic_records(100)
+        tok = make_tokenizer(max_len=cfg.max_len)
+        train, valid, test = make_loaders(rec, tok, cfg,
+                                          synthetic_images=True)
+        assert len(train.ds) == 80
+        assert len(valid.ds) == 19
+        assert len(test.ds) == 1
+
+
+class TestTrainerSmoke:
+    def test_two_epoch_fit_improves_ce(self, tmp_path):
+        from mdcnet_tpu.config import test_preset
+        from mdcnet_tpu.train.loop import train_from_config
+        from mdcnet_tpu.utils.logging import MetricLogger
+
+        cfg = test_preset()
+        cfg = cfg.replace(
+            data=type(cfg.data)(**{**cfg.data.__dict__, "batch_size": 8}),
+            train=type(cfg.train)(**{**cfg.train.__dict__,
+                                     "checkpoint_dir": str(tmp_path),
+                                     "epochs": 2}))
+        rec = synthetic_records(40)
+        tok = make_tokenizer(max_len=cfg.data.max_len)
+        logger = MetricLogger(quiet=True)
+        state = train_from_config(cfg, rec, tok, logger=logger,
+                                  synthetic_images=True, epochs=2)
+        # split of 40 rows -> 31 train rows -> 3 drop-last batches of 8
+        assert int(state.step) == 2 * 3
