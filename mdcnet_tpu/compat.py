@@ -196,6 +196,64 @@ def iou_loss_individual(pred_boxes, gt_boxes, min_penalty=0.1,
                                                 min_penalty, no_box_penalty))
 
 
+def iou_loss(pred_boxes, gt_boxes, min_penalty: float = 0.5):
+    """iou_bbox.py:46-63: mean(1 - IoU) with zero-IoU pairs floored at
+    ``min_penalty``."""
+    iou = bbox_iou(jnp.asarray(pred_boxes, jnp.float32),
+                   jnp.asarray(gt_boxes, jnp.float32))
+    iou = jnp.where(iou > 0, iou, min_penalty)
+    return jnp.mean(1.0 - iou)
+
+
+def extract_predictions(logits, tokenizer):
+    """iou_bbox.py:119-146: argmax over logits, per-sequence tokenizer
+    decode -> (labels, bboxes, captions) lists."""
+    tokens = np.asarray(jnp.argmax(jnp.asarray(logits), axis=-1))
+    labels, bboxes, captions = [], [], []
+    for seq in tokens:
+        l, b, c = tokenizer.decode(seq)
+        labels.append(l)
+        bboxes.append(b)
+        captions.append(c)
+    return labels, bboxes, captions
+
+
+def extract_ground_truth(y, tokenizer, seq_len=None):
+    """iou_bbox.py:149-175 (identical body to extract_predictions, applied
+    to target ids; the reference passes a flattened batch)."""
+    y = np.asarray(y)
+    if y.ndim == 1 and seq_len:
+        y = y.reshape(-1, seq_len)
+    if y.ndim == 1:
+        y = y[None]
+    labels, bboxes, captions = [], [], []
+    for seq in y:
+        l, b, c = tokenizer.decode(seq)
+        labels.append(l)
+        bboxes.append(b)
+        captions.append(c)
+    return labels, bboxes, captions
+
+
+def decode_bbox_from_pred(pred_seq, tokenizer):
+    """iou_bbox.py:180-207: pixel-space boxes from one predicted sequence."""
+    return tokenizer.decode_bboxes(np.asarray(pred_seq))
+
+
+def extract_predicted_labels_with_logits(logits):
+    """data_processing.py:721-756 intent: per sequence, the logits row at the
+    first position whose argmax falls in the label window [258, 267]; rows
+    with no such position are filled with PAD."""
+    from mdcnet_tpu.config import LABEL_END, LABEL_START, PAD_ID
+    logits = jnp.asarray(logits)
+    ids = jnp.argmax(logits, axis=-1)
+    in_window = (ids >= LABEL_START) & (ids <= LABEL_END)
+    has = jnp.any(in_window, axis=-1)
+    idx = jnp.argmax(in_window, axis=-1)
+    rows = jnp.take_along_axis(logits, idx[:, None, None], axis=1)[:, 0]
+    return jnp.where(has[:, None], rows, float(PAD_ID))
+
+
 # --- model.py / axial_model.py ----------------------------------------------
 from mdcnet_tpu.models.vit import ViTEncoder as Encoder      # model.py:14-23
 from mdcnet_tpu.models.decoder import CaptionDecoder as Decoder  # model.py:26-127

@@ -97,6 +97,7 @@ class ModelConfig:
     enc_mlp_ratio: float = 4.0
     enc_layerscale_init: float = 1e-6
     enc_out_dim: int = 1024        # bottleneck AdaptiveAvgPool1d target (model.py:19)
+    enc_cls_token: bool = True     # streaming (context-parallel) config: False
     # decoder
     vocab_size: int = 332          # len(word vocab)=27 + code vocab 305 (trail_01.py:114)
     dec_dim: int = 1024
@@ -200,6 +201,19 @@ def tiny_preset(**overrides) -> Config:
     """Captioned inference geometry (inference_trail_after_good_map.py:134-136)."""
     cfg = Config(model=ModelConfig(enc_out_dim=64, dec_dim=64, dec_heads=2,
                                    dec_layers=2))
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def streaming_preset(**overrides) -> Config:
+    """512² context-parallel streaming eval (BASELINE config 5): 1024 patch
+    tokens sharded over the mesh context axis, no CLS token."""
+    cfg = Config(
+        data=DataConfig(img_size=512, num_bins=224),
+        model=ModelConfig(img_size=512, num_patches=1024,
+                          enc_cls_token=False, enc_out_dim=1024,
+                          dec_dim=1024, dec_heads=8, dec_layers=8),
+        mesh=MeshConfig(data=1, context=4),
+    )
     return cfg.replace(**overrides) if overrides else cfg
 
 

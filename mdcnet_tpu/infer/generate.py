@@ -56,12 +56,30 @@ def generate(model, params, images: jnp.ndarray, rng: jax.Array,
     PAD after EOS here, early exit is output-identical and ~4x faster on
     GC10-length (~21 token) sequences.
     """
+    encoder_out = model.apply(params, images, method="encode")
+    return generate_from_memory(model, params, encoder_out, rng, steps=steps,
+                                top_k=top_k, top_p=top_p, greedy=greedy,
+                                conf_every=conf_every,
+                                temperature=temperature,
+                                early_exit=early_exit)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "steps", "top_k", "top_p", "greedy",
+                     "conf_every", "temperature", "early_exit"))
+def generate_from_memory(model, params, encoder_out: jnp.ndarray,
+                         rng: jax.Array, steps: int = 101, top_k: int = 0,
+                         top_p: float = 1.0, greedy: bool = True,
+                         conf_every: int = 4, temperature: float = 1.0,
+                         early_exit: bool = True) -> GenerateResult:
+    """Generation from a precomputed encoder output (B, N, D) — used by the
+    context-parallel streaming path where encoding happens under shard_map."""
     decoder = model.decoder
-    batch = images.shape[0]
+    batch = encoder_out.shape[0]
     cache_len = decoder.max_len - 1
     steps = min(steps, cache_len - 1)
 
-    encoder_out = model.apply(params, images, method="encode")
     mem_kvs = model.apply(params, encoder_out,
                           method=lambda m, e: m.decoder.prepare_memory(e))
     caches = decoder.init_cache(batch, cache_len)

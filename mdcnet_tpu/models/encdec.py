@@ -64,10 +64,12 @@ def build_model(cfg) -> EncoderDecoder:
     dtype = jnp.dtype(cfg.dtype)
     param_dtype = jnp.dtype(cfg.param_dtype)
     encoder = ViTEncoder(
-        patch_size=cfg.patch_size, dim=cfg.enc_dim, depth=cfg.enc_depth,
+        patch_size=cfg.patch_size, img_size=cfg.img_size,
+        dim=cfg.enc_dim, depth=cfg.enc_depth,
         num_heads=cfg.enc_heads, mlp_ratio=cfg.enc_mlp_ratio,
         layerscale_init=cfg.enc_layerscale_init, out_dim=cfg.enc_out_dim,
-        dtype=dtype, param_dtype=param_dtype)
+        use_cls_token=cfg.enc_cls_token, dtype=dtype,
+        param_dtype=param_dtype)
     if cfg.axial:
         from mdcnet_tpu.models.axial import AxialCaptionDecoder
         decoder = AxialCaptionDecoder(

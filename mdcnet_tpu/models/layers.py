@@ -44,10 +44,15 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 
 class MultiHeadAttention(nn.Module):
-    """Torch-compatible MHA: packed qkv semantics, bias on all projections."""
+    """Torch-compatible MHA: packed qkv semantics, bias on all projections.
+
+    ``ring_axis``: when set, self-attention runs as ring attention over that
+    mesh axis (sequence sharded across devices; valid inside shard_map only).
+    """
 
     dim: int
     num_heads: int
+    ring_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -72,7 +77,12 @@ class MultiHeadAttention(nn.Module):
         q = self.head_split(self.q_proj(query))
         k = self.head_split(self.k_proj(key))
         v = self.head_split(self.v_proj(value))
-        out = dot_product_attention(q, k, v, bias)
+        if self.ring_axis is not None:
+            from mdcnet_tpu.parallel.context import ring_attention
+            assert bias is None, "ring attention path is bias-free (encoder)"
+            out = ring_attention(q, k, v, axis_name=self.ring_axis)
+        else:
+            out = dot_product_attention(q, k, v, bias)
         return self.out_proj(self.head_merge(out))
 
     def project_kv(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -131,30 +141,35 @@ class TorchDecoderLayer(nn.Module):
         q = self.self_attn.head_split(self.self_attn.q_proj(tgt))
         k_new = self.self_attn.head_split(self.self_attn.k_proj(tgt))
         v_new = self.self_attn.head_split(self.self_attn.v_proj(tgt))
+        bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF
+                         ).astype(jnp.float32)
         if quantized:
+            from mdcnet_tpu.ops.decode_kernel import fused_int8_decode_attention
             k_cache = kv_quant.update_slice(k_cache, k_new, pos)
             v_cache = kv_quant.update_slice(v_cache, v_new, pos)
-            k_read = kv_quant.dequantize(k_cache, self.dtype)
-            v_read = kv_quant.dequantize(v_cache, self.dtype)
+            # Pallas kernel: int8 K/V dequantized in VMEM, positions <= pos
+            # (key_valid in the cached decode loop is exactly that window)
+            x = fused_int8_decode_attention(q[:, :, 0], k_cache, v_cache,
+                                            pos)[:, :, None]
         else:
             k_cache = jax.lax.dynamic_update_slice(k_cache, k_new,
                                                    (0, 0, pos, 0))
             v_cache = jax.lax.dynamic_update_slice(v_cache, v_new,
                                                    (0, 0, pos, 0))
-            k_read, v_read = k_cache, v_cache
-
-        bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF
-                         ).astype(jnp.float32)
-        x = dot_product_attention(q, k_read, v_read, bias)
+            x = dot_product_attention(q, k_cache, v_cache, bias)
         x = self.self_attn.out_proj(self.self_attn.head_merge(x))
         tgt = self.norm1(tgt + x)
 
         mk, mv = mem_kv
-        if isinstance(mk, kv_quant.QuantKV):
-            mk = kv_quant.dequantize(mk, self.dtype)
-            mv = kv_quant.dequantize(mv, self.dtype)
         q = self.cross_attn.head_split(self.cross_attn.q_proj(tgt))
-        x = dot_product_attention(q, mk, mv)
+        if isinstance(mk, kv_quant.QuantKV):
+            from mdcnet_tpu.ops.decode_kernel import fused_int8_decode_attention
+            mem_len = mk.values.shape[2]
+            x = fused_int8_decode_attention(
+                q[:, :, 0], mk, mv, jnp.asarray(mem_len - 1, jnp.int32),
+                block_l=128)[:, :, None]
+        else:
+            x = dot_product_attention(q, mk, mv)
         x = self.cross_attn.out_proj(self.cross_attn.head_merge(x))
         tgt = self.norm2(tgt + x)
 

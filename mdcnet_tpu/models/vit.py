@@ -12,6 +12,10 @@ TPU-first choices:
   - the adaptive channel pool is expressed as a precomputed static pooling
     matrix so the "bottleneck" is one (N, D) x (D, out) matmul instead of a
     gather/scatter — this also makes it differentiable and shardable.
+  - the forward is split into ``embed`` (patchify + pos) and ``run_blocks``
+    so the 512² streaming-eval path can shard_map the block stack over the
+    mesh ``context`` axis with ring attention (``ring_axis``), never
+    materializing the full 1024-token sequence per device.
 """
 from __future__ import annotations
 
@@ -63,6 +67,7 @@ class ViTBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 4.0
     layerscale_init: float = 1e-6
+    ring_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -74,7 +79,9 @@ class ViTBlock(nn.Module):
             (self.dim,), self.param_dtype)
 
         h = nn.LayerNorm(epsilon=1e-6, **kw, name="norm1")(x)
-        h = MultiHeadAttention(self.dim, self.num_heads, **kw, name="attn")(h, h, h)
+        h = MultiHeadAttention(self.dim, self.num_heads,
+                               ring_axis=self.ring_axis, **kw,
+                               name="attn")(h, h, h)
         x = x + h * ls("gamma1")
 
         h = nn.LayerNorm(epsilon=1e-6, **kw, name="norm2")(x)
@@ -91,9 +98,14 @@ class ViTEncoder(nn.Module):
     (B, num_patches, out_dim); the CLS token is carried through the blocks
     (it influences nothing else once dropped, but keeps the compute graph
     faithful to the backbone) and removed before the bottleneck.
+
+    ``ring_axis`` switches block self-attention to ring attention over a
+    mesh axis for context-parallel encoding (CLS must be disabled — the
+    streaming config uses ``use_cls_token=False``).
     """
 
     patch_size: int = 16
+    img_size: int = 224
     dim: int = 512
     depth: int = 12
     num_heads: int = 8
@@ -101,38 +113,69 @@ class ViTEncoder(nn.Module):
     layerscale_init: float = 1e-6
     out_dim: int = 1024
     use_cls_token: bool = True
+    ring_axis: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
-        """images: (B, H, W, 3) channels-last float."""
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        self.patch_embed = nn.Conv(
+            self.dim, kernel_size=(self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size), **kw)
+        init = nn.initializers.truncated_normal(0.02)
+        # pos embed sized for the configured image size; bilinearly
+        # interpolated by embed() when inputs differ (512² config)
+        n_default = (self.img_size // self.patch_size) ** 2
+        self.pos_embed = self.param("pos_embed", init,
+                                    (1, n_default, self.dim),
+                                    self.param_dtype)
+        if self.use_cls_token:
+            self.cls_token = self.param("cls_token", init, (1, 1, self.dim),
+                                        self.param_dtype)
+        self.blocks = [ViTBlock(self.dim, self.num_heads, self.mlp_ratio,
+                                self.layerscale_init,
+                                ring_axis=self.ring_axis, **kw,
+                                name=f"block{i}")
+                       for i in range(self.depth)]
+        self.norm = nn.LayerNorm(epsilon=1e-6, **kw)
+        self.bottleneck = ChannelAdaptivePool(self.out_dim, dtype=self.dtype)
+
+    def _pos(self, n_patches: int) -> jnp.ndarray:
+        pos = self.pos_embed.astype(self.dtype)
+        if pos.shape[1] == n_patches:
+            return pos
+        # bilinear grid interpolation for non-224 image sizes (512² config)
+        side_old = int(pos.shape[1] ** 0.5)
+        side_new = int(n_patches ** 0.5)
+        grid = pos.reshape(1, side_old, side_old, self.dim)
+        grid = jax.image.resize(grid, (1, side_new, side_new, self.dim),
+                                method="bilinear")
+        return grid.reshape(1, n_patches, self.dim)
+
+    def embed(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Patchify + positional embedding (+ CLS). images: (B, H, W, 3)."""
         b, h, w, _ = images.shape
-        x = nn.Conv(self.dim, kernel_size=(self.patch_size, self.patch_size),
-                    strides=(self.patch_size, self.patch_size),
-                    dtype=self.dtype, param_dtype=self.param_dtype,
-                    name="patch_embed")(images.astype(self.dtype))
-        n_patches = (h // self.patch_size) * (w // self.patch_size)
-        x = x.reshape(b, n_patches, self.dim)
-
-        # DeiT3: pos embed on patch tokens only, CLS concatenated after.
-        pos = self.param("pos_embed", nn.initializers.truncated_normal(0.02),
-                         (1, n_patches, self.dim), self.param_dtype)
-        x = x + pos.astype(self.dtype)
+        x = self.patch_embed(images.astype(self.dtype))
+        n = (h // self.patch_size) * (w // self.patch_size)
+        x = x.reshape(b, n, self.dim)
+        x = x + self._pos(n)
         if self.use_cls_token:
-            cls = self.param("cls_token", nn.initializers.truncated_normal(0.02),
-                             (1, 1, self.dim), self.param_dtype)
-            cls = jnp.broadcast_to(cls.astype(self.dtype), (b, 1, self.dim))
+            cls = jnp.broadcast_to(self.cls_token.astype(self.dtype),
+                                   (b, 1, self.dim))
             x = jnp.concatenate([cls, x], axis=1)
+        return x
 
-        for i in range(self.depth):
-            x = ViTBlock(self.dim, self.num_heads, self.mlp_ratio,
-                         self.layerscale_init, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name=f"block{i}")(x)
-        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="norm")(x)
+    def run_blocks(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Transformer stack + final norm (token-wise; shard_map-safe)."""
+        for block in self.blocks:
+            x = block(x)
+        return self.norm(x)
 
+    def finish(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Drop CLS (model.py:23) + channel bottleneck."""
         if self.use_cls_token:
-            x = x[:, 1:]  # drop CLS (model.py:23 features[:, 1:])
-        return ChannelAdaptivePool(self.out_dim, dtype=self.dtype,
-                                   name="bottleneck")(x)
+            x = x[:, 1:]
+        return self.bottleneck(x)
+
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.finish(self.run_blocks(self.embed(images)))

@@ -45,6 +45,31 @@ def update_slice(cache: QuantKV, new: jnp.ndarray, pos) -> QuantKV:
     return QuantKV(vals, scale)
 
 
+def quant_attention(q: jnp.ndarray, k: QuantKV, v: QuantKV,
+                    bias) -> jnp.ndarray:
+    """Attention that consumes int8 K/V directly.
+
+    Scales fold into the *score* matrix (for K) and the softmax *weights*
+    (for V), so the int8 tensors feed the dots through a fusable elementwise
+    convert — no dequantized (B,H,L,D) copy is ever materialized in HBM.
+
+      s[b,h,q,l] = (Σ_d q·k_i8) · k_scale[b,h,l]
+      o[b,h,q,d] = Σ_l (w·v_scale)[b,h,q,l] · v_i8[b,h,l,d]
+    """
+    dh = q.shape[-1]
+    qf = q.astype(jnp.float32) * (dh ** -0.5)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, k.values.astype(jnp.float32),
+                   preferred_element_type=jnp.float32)
+    s = s * k.scale[..., 0][:, :, None, :]
+    if bias is not None:
+        s = s + bias
+    w = jax.nn.softmax(s, axis=-1)
+    w = w * v.scale[..., 0][:, :, None, :]
+    out = jnp.einsum("bhqk,bhkd->bhqd", w, v.values.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
 def init_cache(batch: int, heads: int, length: int, head_dim: int) -> QuantKV:
     return QuantKV(jnp.zeros((batch, heads, length, head_dim), jnp.int8),
                    jnp.zeros((batch, heads, length, 1), jnp.float32))

@@ -1,0 +1,80 @@
+"""Context-parallel streaming encoder (BASELINE config 5: 512², multi-chip).
+
+At 512² the encoder sees 1024 patch tokens.  This module runs the ViT block
+stack with the token sequence sharded over the mesh ``context`` axis:
+
+  embed   : patchify + pos embed, batch-sharded over ``data`` (token count
+            per device stays full here — patchify is cheap; the quadratic
+            attention work is what gets sharded)
+  blocks  : shard_map over (data, context); block self-attention is ring
+            attention (ppermute K/V around the ICI ring, online softmax)
+  finish  : channel bottleneck, token-wise
+
+Output equals the single-device encoder bit-for-fp32-tolerance
+(tests/test_streaming.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mdcnet_tpu.models.vit import ViTEncoder
+
+
+def context_parallel_encoder(encoder: ViTEncoder, mesh: Mesh) -> ViTEncoder:
+    """A ring-attention twin of ``encoder`` (same params, no CLS token).
+
+    The streaming config drops the CLS token: sequence sharding has no home
+    for a broadcast token (use_cls_token=False geometry).
+    """
+    assert not encoder.use_cls_token, (
+        "context-parallel encoding requires use_cls_token=False")
+    fields = {f.name: getattr(encoder, f.name)
+              for f in dataclasses.fields(encoder) if f.name not in
+              ("parent", "name")}
+    fields["ring_axis"] = "context"
+    return ViTEncoder(**fields)
+
+
+def encode_context_parallel(encoder: ViTEncoder, params, images: jnp.ndarray,
+                            mesh: Mesh) -> jnp.ndarray:
+    """Full context-parallel encode: (B, H, W, 3) -> (B, N, out_dim)."""
+    ring_enc = context_parallel_encoder(encoder, mesh)
+
+    def embed(imgs):
+        return encoder.apply(params, imgs, method="embed")
+
+    def blocks_local(tokens):
+        return ring_enc.apply(params, tokens, method="run_blocks")
+
+    def finish(tokens):
+        return encoder.apply(params, tokens, method="finish")
+
+    tokens = embed(images)
+    spec = P("data", "context", None)
+    sharded_blocks = shard_map(blocks_local, mesh=mesh, in_specs=(spec,),
+                               out_specs=spec, check_rep=False)
+    with mesh:
+        tokens = jax.lax.with_sharding_constraint(
+            tokens, NamedSharding(mesh, spec))
+        tokens = sharded_blocks(tokens)
+        return finish(tokens)
+
+
+def streaming_eval_step(model, params, images: jnp.ndarray, mesh: Mesh,
+                        rng: jax.Array, steps: int = 101, **gen_kw):
+    """One streaming-eval step: context-parallel encode (e.g. 512² -> 1024
+    tokens sharded over ``context``), then standard cached generation on the
+    pooled memory.  The model must be built with ``num_patches`` matching the
+    image size (config 5 geometry: num_patches=1024, use_cls_token=False)."""
+    from mdcnet_tpu.infer.generate import generate_from_memory
+
+    encoder_out = encode_context_parallel(
+        model.encoder, {"params": params["params"]["encoder"]}, images, mesh)
+    return generate_from_memory(model, params, encoder_out, rng, steps=steps,
+                                **gen_kw)

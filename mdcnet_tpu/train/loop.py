@@ -70,13 +70,22 @@ class Trainer:
         return {k: m.avg for k, m in meters.items()}
 
     def fit(self, state: TrainState, train_loader, valid_loader,
-            epochs: Optional[int] = None) -> TrainState:
+            epochs: Optional[int] = None, test_loader=None, tokenizer=None,
+            test_save_dir: Optional[str] = None) -> TrainState:
+        """Epoch loop matching train_eval (trail_01.py:168-205): train,
+        validate, optionally run the generation-based test epoch, checkpoint
+        on improved validation GIoU, early-stop after ``patience``."""
         epochs = epochs or self.cfg.train.epochs
         patience = self.cfg.train.patience
         for epoch in range(epochs):
             train_metrics = self.train_epoch(state, train_loader)
             state = self.state
             valid_metrics = self.valid_epoch(state, valid_loader)
+            if test_loader is not None and tokenizer is not None:
+                from mdcnet_tpu.train.test_epoch import test_epoch
+                test_epoch(self.model, state.params, test_loader, tokenizer,
+                           self.cfg, save_dir=test_save_dir,
+                           logger=self.logger, epoch_num=epoch)
             if self.logger is not None:
                 self.logger.log({f"train/{k}": v
                                  for k, v in train_metrics.items()},
@@ -106,7 +115,7 @@ def train_from_config(cfg, records, tokenizer, logger=None,
     from mdcnet_tpu.data.pipeline import make_loaders
     from mdcnet_tpu.models import build_model
 
-    train_loader, valid_loader, _ = make_loaders(
+    train_loader, valid_loader, test_loader = make_loaders(
         records, tokenizer, cfg.data, synthetic_images=synthetic_images)
     model = build_model(cfg.model)
     rng = jax.random.PRNGKey(cfg.train.seed)
@@ -118,4 +127,6 @@ def train_from_config(cfg, records, tokenizer, logger=None,
     ckpt = CheckpointManager(cfg.train.checkpoint_dir,
                              cfg.train.keep_checkpoints)
     trainer = Trainer(model, cfg, logger=logger, checkpoints=ckpt)
-    return trainer.fit(state, train_loader, valid_loader, epochs=epochs)
+    return trainer.fit(state, train_loader, valid_loader, epochs=epochs,
+                       test_loader=test_loader, tokenizer=tokenizer,
+                       test_save_dir=cfg.train.checkpoint_dir)

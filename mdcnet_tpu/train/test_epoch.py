@@ -1,0 +1,103 @@
+"""Generation-based test epoch.
+
+Reference ``test_epoch`` (train_val_epoch.py:727-887): runs the predict
+path over the test loader, reports BLEU and IoU/GIoU on generated sequences,
+and appends per-batch prediction rows (captions, boxes, classes) to a dated
+CSV (utilities.py:8-13).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdcnet_tpu.data.augment import preprocess
+from mdcnet_tpu.evals import MeanAveragePrecision, calculate_bleu_scores
+from mdcnet_tpu.evals.meters import AvgMeter
+from mdcnet_tpu.infer.generate import generate, postprocess
+from mdcnet_tpu.ops import boxes as box_ops
+from mdcnet_tpu.text import decode_jax
+from mdcnet_tpu.utils.logging import CsvSink, dated_csv_path
+
+
+def test_epoch(model, params, loader, tokenizer, cfg,
+               save_dir: Optional[str] = None, logger=None,
+               epoch_num: int = 0, rng: Optional[jax.Array] = None
+               ) -> Dict[str, float]:
+    """Generate on the test split; return BLEU / mean-max-IoU / GIoU-loss /
+    mAP@0.3 and append prediction rows to a dated CSV."""
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    sink = CsvSink(dated_csv_path(save_dir, "test_predictions")) \
+        if save_dir else None
+
+    bleu_meter = AvgMeter("bleu")
+    iou_meter = AvgMeter("iou")
+    giou_meter = AvgMeter("giou_loss")
+    map_metric = MeanAveragePrecision(iou_threshold=0.3)
+
+    for batch in loader:
+        images = preprocess(jnp.asarray(batch.images), rng,
+                            cfg.data.img_size, train=False)
+        res = generate(model, params, images, rng,
+                       steps=cfg.infer.generation_steps,
+                       top_k=cfg.infer.top_k, top_p=cfg.infer.top_p,
+                       greedy=cfg.infer.greedy,
+                       conf_every=cfg.infer.conf_every)
+        tokens = np.asarray(res.tokens)
+        confs = np.asarray(res.confs)
+
+        # box metrics on device
+        pred = decode_jax.decode_groups(res.tokens, max_groups=8)
+        gt = decode_jax.decode_groups(jnp.asarray(batch.tokens), max_groups=8)
+        pb = decode_jax.rescale_boxes(pred.boxes, cfg.data.num_bins,
+                                      cfg.data.img_size, cfg.data.img_size)
+        gb = decode_jax.rescale_boxes(gt.boxes, cfg.data.num_bins,
+                                      cfg.data.img_size, cfg.data.img_size)
+        pm, gm = pred.valid_mask(), gt.valid_mask()
+        giou_loss, _ = box_ops.giou_loss_with_scores(pb, pm, gb, gm)
+        mean_iou = box_ops.mean_max_iou(pb, pm, gb, gm)
+        n = tokens.shape[0]
+        giou_meter.update(float(giou_loss), n)
+        if np.isfinite(float(mean_iou)):
+            iou_meter.update(float(mean_iou), n)
+
+        # caption BLEU (token-level, like train_val_epoch.py:90-98)
+        for i in range(n):
+            ref = tokenizer.decode_captions(batch.tokens[i]).tolist()
+            hyp = tokenizer.decode_captions(tokens[i]).tolist()
+            bleu_meter.update(calculate_bleu_scores([ref], [hyp])[0])
+
+        # mAP accumulation
+        for i in range(n):
+            n_p, n_g = int(pred.count[i]), int(gt.count[i])
+            map_metric.update(
+                [{"boxes": np.asarray(pb[i][:n_p]),
+                  "scores": np.ones(n_p),
+                  "labels": np.asarray(pred.labels[i][:n_p])}],
+                [{"boxes": np.asarray(gb[i][:n_g]),
+                  "labels": np.asarray(gt.labels[i][:n_g])}])
+
+        # prediction log rows (train_val_epoch.py:836-854)
+        if sink is not None:
+            bboxes, labels, captions, cfs = postprocess(tokens, confs,
+                                                        tokenizer)
+            for i in range(n):
+                _, gt_boxes_i, gt_caption = tokenizer.decode(batch.tokens[i])
+                sink.log({
+                    "epoch": epoch_num,
+                    "pred_caption": captions[i],
+                    "gt_caption": gt_caption,
+                    "pred_boxes": bboxes[i],
+                    "gt_boxes": gt_boxes_i,
+                    "pred_labels": labels[i],
+                    "confs": cfs[i],
+                })
+
+    out = {"test/bleu": bleu_meter.avg, "test/mean_max_iou": iou_meter.avg,
+           "test/giou_loss": giou_meter.avg,
+           "test/map@0.3": map_metric.compute()["map"]}
+    if logger is not None:
+        logger.log(out, step=epoch_num)
+    return out

@@ -105,7 +105,7 @@ class TestEncoderParity:
               for k, v in tmodel.state_dict().items()}
         params = {"params": convert_encoder(sd, DEPTH)}
 
-        jmodel = ViTEncoder(patch_size=PATCH, dim=DIM, depth=DEPTH,
+        jmodel = ViTEncoder(patch_size=PATCH, img_size=IMG, dim=DIM, depth=DEPTH,
                             num_heads=HEADS, out_dim=OUT)
         rng = np.random.default_rng(0)
         images = rng.normal(size=(2, IMG, IMG, 3)).astype(np.float32)
