@@ -109,6 +109,11 @@ def to_dataframe(records: Columns):
     return pd.DataFrame({k: list(v) for k, v in records.items()})
 
 
+def to_excel(records: Columns, path: str) -> None:
+    """Write the records as an Excel sheet (xml_to_xls.py:54-82 surface)."""
+    to_dataframe(records).to_excel(path, index=False)
+
+
 def parse_neu_annotation_lines(lines: List[str],
                                image_folder: str = "") -> Columns:
     """Legacy NEU-DET 6-class parser (xml_to_xls.py:23-51): line format

@@ -149,8 +149,14 @@ class CaptionDecoder(nn.Module):
             self.encoder_pos_embed.astype(self.dtype)
         kvs = [layer.cross_attn.project_kv(memory) for layer in self.layers]
         if self.kv_quant:
-            kvs = [(kv_quant.quantize(k), kv_quant.quantize(v))
-                   for k, v in kvs]
+            # pad the memory length to the Mosaic DMA sublane granularity;
+            # the kernel masks keys beyond the real length (mem_pos)
+            pad = (-memory.shape[1]) % 8
+            def quant_padded(x):
+                if pad:
+                    x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                return kv_quant.quantize(x)
+            kvs = [(quant_padded(k), quant_padded(v)) for k, v in kvs]
         return kvs
 
     def init_cache(self, batch: int, cache_len: int
@@ -159,7 +165,8 @@ class CaptionDecoder(nn.Module):
 
         head_dim = self.dim // self.num_heads
         if self.kv_quant:
-            mk = lambda: kv_quant.init_cache(batch, self.num_heads, cache_len,
+            padded = cache_len + ((-cache_len) % 8)  # DMA sublane granularity
+            mk = lambda: kv_quant.init_cache(batch, self.num_heads, padded,
                                              head_dim)
             return [(mk(), mk()) for _ in range(self.num_layers)]
         shape = (batch, self.num_heads, cache_len, head_dim)
@@ -179,7 +186,9 @@ class CaptionDecoder(nn.Module):
             (0, pos, 0), (1, 1, self.dim))
         x = self.embedding(token[:, None]) + pos_embed
         new_caches = []
+        mem_pos = self.encoder_length - 1  # real memory length (quant pads)
         for layer, cache, mem_kv in zip(self.layers, caches, mem_kvs):
-            x, cache = layer.decode_step(x, cache, mem_kv, pos, key_valid)
+            x, cache = layer.decode_step(x, cache, mem_kv, pos, key_valid,
+                                         mem_pos=mem_pos)
             new_caches.append(cache)
         return self.output(x)[:, 0], new_caches

@@ -128,7 +128,8 @@ class TorchDecoderLayer(nn.Module):
 
     def decode_step(self, tgt: jnp.ndarray, kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
                     mem_kv: Tuple[jnp.ndarray, jnp.ndarray],
-                    pos: jnp.ndarray, key_valid: jnp.ndarray
+                    pos: jnp.ndarray, key_valid: jnp.ndarray,
+                    mem_pos: Optional[int] = None
                     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
         """One-token decode. tgt: (B, 1, D); kv_cache: ((B,H,L,Dh) k, v);
         mem_kv: precomputed cross-attention k/v; pos: scalar position;
@@ -164,9 +165,11 @@ class TorchDecoderLayer(nn.Module):
         q = self.cross_attn.head_split(self.cross_attn.q_proj(tgt))
         if isinstance(mk, kv_quant.QuantKV):
             from mdcnet_tpu.ops.decode_kernel import fused_int8_decode_attention
-            mem_len = mk.values.shape[2]
+            # mem_pos = real memory length - 1 (the quantized memory may be
+            # padded to the DMA sublane granularity; padded keys are masked)
+            mem_len = mem_pos if mem_pos is not None else mk.values.shape[2] - 1
             x = fused_int8_decode_attention(
-                q[:, :, 0], mk, mv, jnp.asarray(mem_len - 1, jnp.int32),
+                q[:, :, 0], mk, mv, jnp.asarray(mem_len, jnp.int32),
                 block_l=128)[:, :, None]
         else:
             x = dot_product_attention(q, mk, mv)

@@ -24,10 +24,11 @@ from mdcnet_tpu.utils.logging import CsvSink, dated_csv_path
 
 def test_epoch(model, params, loader, tokenizer, cfg,
                save_dir: Optional[str] = None, logger=None,
-               epoch_num: int = 0, rng: Optional[jax.Array] = None
-               ) -> Dict[str, float]:
+               epoch_num: int = 0, rng: Optional[jax.Array] = None,
+               class_metrics: bool = True) -> Dict[str, float]:
     """Generate on the test split; return BLEU / mean-max-IoU / GIoU-loss /
-    mAP@0.3 and append prediction rows to a dated CSV."""
+    mAP@0.3 (plus per-class mAP like valid_epoch_bbox's logging,
+    train_val_epoch.py:657-665) and append prediction rows to a dated CSV."""
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     sink = CsvSink(dated_csv_path(save_dir, "test_predictions")) \
         if save_dir else None
@@ -35,7 +36,8 @@ def test_epoch(model, params, loader, tokenizer, cfg,
     bleu_meter = AvgMeter("bleu")
     iou_meter = AvgMeter("iou")
     giou_meter = AvgMeter("giou_loss")
-    map_metric = MeanAveragePrecision(iou_threshold=0.3)
+    map_metric = MeanAveragePrecision(iou_threshold=0.3,
+                                      class_metrics=class_metrics)
 
     for batch in loader:
         images = preprocess(jnp.asarray(batch.images), rng,
@@ -95,9 +97,13 @@ def test_epoch(model, params, loader, tokenizer, cfg,
                     "confs": cfs[i],
                 })
 
+    scores = map_metric.compute()
     out = {"test/bleu": bleu_meter.avg, "test/mean_max_iou": iou_meter.avg,
            "test/giou_loss": giou_meter.avg,
-           "test/map@0.3": map_metric.compute()["map"]}
+           "test/map@0.3": scores["map"]}
+    if class_metrics:
+        for cls, ap in scores.get("map_per_class", {}).items():
+            out[f"test/map@0.3/class_{cls}"] = ap
     if logger is not None:
         logger.log(out, step=epoch_num)
     return out
