@@ -2,27 +2,61 @@
 
 Measures the full inference pipeline on the flagship geometry
 (DeiT3-medium encoder + dim-1024/8-head/8-layer decoder, trail_01.py:158-160):
-encoder forward + KV-cached autoregressive generation for the full
-caption+label+bbox sequence (generation budget = CFG.generation_steps = 101,
-capped by the model's max_len-1 = 99 context like the reference's predict
-path).
+encoder forward + KV-cached autoregressive generation with the reference's
+generation budget (CFG.generation_steps = 101, capped by the max_len-1 = 99
+context like the reference's predict path).
+
+Workload: when a trained checkpoint exists (checkpoints_flagship/, produced
+by scripts/train_flagship.py on the GC10 annotations), generation runs the
+realistic serving path — sequences terminate at EOS and the decode loop
+exits early, which is output-identical to the reference's
+postprocess-truncation semantics (inference_p.py:94-97).  Without a
+checkpoint the model is untrained, never emits EOS, and the bench reports
+the full-budget worst case.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
 
-vs_baseline is measured against the BASELINE.json north-star target of
-5,000 captioned 224² images/sec/chip (the reference publishes no numbers —
+vs_baseline is against the BASELINE.json north-star target of 5,000
+captioned 224² images/sec/chip (the reference publishes no numbers —
 BASELINE.md).
+
+NB: over the axon tunnel ``block_until_ready`` does not synchronize; all
+timing fences use an explicit device->host readback.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 BASELINE_TARGET = 5000.0  # images/sec/chip north star (BASELINE.json)
+CHECKPOINT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "checkpoints_flagship")
+
+
+def load_params(model, cfg):
+    """Trained checkpoint when available, fresh init otherwise."""
+    from mdcnet_tpu.train.checkpoint import CheckpointManager
+    from mdcnet_tpu.train.state import create_train_state
+
+    rng = jax.random.PRNGKey(1)
+    state = create_train_state(
+        model, cfg, rng, jnp.zeros((1, cfg.data.img_size,
+                                    cfg.data.img_size, 3)),
+        jnp.zeros((1, cfg.data.max_len - 1), jnp.int32))
+    try:
+        mgr = CheckpointManager(CHECKPOINT_DIR, 1)
+        if mgr.latest_step() is not None:
+            return mgr.restore(state).params, "trained_gc10_early_exit"
+    except Exception:
+        pass
+    return state.params, "untrained_full_budget"
 
 
 def main():
@@ -31,27 +65,22 @@ def main():
     from mdcnet_tpu.models import build_model
 
     cfg = large_preset()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, vocab_size=332))
     model = build_model(cfg.model)
+    params, workload = load_params(model, cfg)
 
     batch = 256
     steps = cfg.infer.generation_steps  # 101, capped to 98 inside generate
 
-    rng = jax.random.PRNGKey(0)
     images = jax.random.uniform(
-        rng, (batch, cfg.data.img_size, cfg.data.img_size, 3), jnp.float32)
-    tgt = jnp.zeros((batch, 10), jnp.int32)
-    params = jax.jit(model.init)({"params": jax.random.PRNGKey(1)},
-                                 images, tgt)
+        jax.random.PRNGKey(0),
+        (batch, cfg.data.img_size, cfg.data.img_size, 3), jnp.float32)
 
     def run(key):
-        out = generate(model, params, images, key, steps=steps, greedy=True)
-        return out.tokens
+        return generate(model, params, images, key, steps=steps,
+                        greedy=True, early_exit=True).tokens
 
-    # warmup / compile.  NB: over the axon tunnel block_until_ready does not
-    # actually synchronize; a host transfer (np.asarray) is the only reliable
-    # fence, so timing uses an explicit device->host readback.
-    import numpy as np
-    np.asarray(run(jax.random.PRNGKey(2)))
+    np.asarray(run(jax.random.PRNGKey(2)))  # compile + warm
 
     iters = 5
     start = time.perf_counter()
@@ -66,6 +95,8 @@ def main():
         "value": round(images_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / BASELINE_TARGET, 4),
+        "workload": workload,
+        "batch": batch,
     }))
 
 

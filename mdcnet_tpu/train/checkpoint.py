@@ -21,6 +21,10 @@ except ImportError:  # pragma: no cover
 from mdcnet_tpu.train.state import TrainState
 
 
+def jnp_device_put(x):
+    return jax.device_put(x) if isinstance(x, np.ndarray) else x
+
+
 class CheckpointManager:
     """Save/restore TrainState; keeps ``max_to_keep`` best + latest."""
 
@@ -61,8 +65,11 @@ class CheckpointManager:
             target = jax.tree_util.tree_map(np.asarray, template)
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(target))
-            return jax.tree_util.tree_map(lambda t, r: r, template, restored)
-        flat, treedef = jax.tree_util.tree_flatten(template)
-        data = np.load(os.path.join(self.directory, f"ckpt_{step}.npz"))
-        return jax.tree_util.tree_unflatten(
-            treedef, [data[k] for k in data.files])
+        else:
+            flat, treedef = jax.tree_util.tree_flatten(template)
+            data = np.load(os.path.join(self.directory, f"ckpt_{step}.npz"))
+            restored = jax.tree_util.tree_unflatten(
+                treedef, [data[k] for k in data.files])
+        # materialize on device: numpy leaves passed to jitted functions get
+        # re-uploaded on EVERY call (catastrophic over a remote tunnel)
+        return jax.tree_util.tree_map(jnp_device_put, restored)
