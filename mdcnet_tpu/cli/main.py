@@ -175,6 +175,37 @@ def cmd_eval(args):
                       "bleu": float(np.mean(bleus)) if bleus else 0.0}))
 
 
+def cmd_streaming(args):
+    """512² context-parallel streaming eval (BASELINE config 5)."""
+    import jax
+    import jax.numpy as jnp
+    from mdcnet_tpu.config import streaming_preset
+    from mdcnet_tpu.infer.generate import postprocess
+    from mdcnet_tpu.models import build_model
+    from mdcnet_tpu.parallel import sharding as sh
+    from mdcnet_tpu.parallel.streaming import streaming_eval_step
+
+    cfg = streaming_preset()
+    records, tokenizer, cfg = load_data(args, cfg)
+    model = build_model(cfg.model)
+    n = len(jax.devices())
+    ctx = args.context or (min(4, n) if n > 1 else 1)
+    mesh = sh.make_mesh(data=1, context=ctx)
+    images = jax.random.uniform(
+        jax.random.PRNGKey(0),
+        (args.batch_size or 4, cfg.data.img_size, cfg.data.img_size, 3))
+    params = jax.jit(model.init)({"params": jax.random.PRNGKey(1)},
+                                 images, jnp.zeros((images.shape[0], 10),
+                                                   jnp.int32))
+    out = streaming_eval_step(model, params, images, mesh,
+                              jax.random.PRNGKey(2),
+                              steps=cfg.infer.generation_steps)
+    bboxes, labels, captions, _ = postprocess(
+        np.asarray(out.tokens), np.asarray(out.confs), tokenizer)
+    for i in range(len(labels)):
+        print(json.dumps({"labels": labels[i], "caption": captions[i]}))
+
+
 def cmd_benchmark(args):
     import bench
     bench.main()
@@ -201,6 +232,12 @@ def main(argv=None):
     p = sub.add_parser("eval")
     _add_common(p)
     p.set_defaults(fn=cmd_eval)
+
+    p = sub.add_parser("streaming")
+    _add_common(p)
+    p.add_argument("--context", type=int, default=None,
+                   help="context-parallel axis size")
+    p.set_defaults(fn=cmd_streaming)
 
     p = sub.add_parser("benchmark")
     p.set_defaults(fn=cmd_benchmark)
