@@ -25,25 +25,49 @@ from mdcnet_tpu.train.step import make_train_step
 
 
 class Trainer:
+    """Epoch driver.  Pass ``mesh`` to train sharded: parameters and
+    optimizer state are laid out by the partition rules
+    (parallel/sharding.py), batches are split over the ``data`` axis, and
+    the same jitted train step runs SPMD — XLA inserts the gradient psum."""
+
     def __init__(self, model, cfg, logger=None,
-                 checkpoints: Optional[CheckpointManager] = None):
+                 checkpoints: Optional[CheckpointManager] = None,
+                 mesh=None):
         self.model = model
         self.cfg = cfg
         self.logger = logger
         self.ckpt = checkpoints
+        self.mesh = mesh
         self.train_step, self.eval_step = make_train_step(model, cfg)
         self.best_metric = float("inf")
         self.epochs_since_improvement = 0
         self._aug_rng = jax.random.PRNGKey(cfg.train.seed + 17)
 
+    def shard_state(self, state):
+        """Lay a fresh TrainState out on the mesh (no-op without one)."""
+        if self.mesh is None:
+            return state
+        from mdcnet_tpu.parallel import sharding as sh
+        from mdcnet_tpu.train.state import make_optimizer
+        with self.mesh:
+            params = sh.shard_params(state.params, self.mesh)
+            opt_state = jax.jit(make_optimizer(self.cfg.train).init)(
+                params["params"])
+            return state.replace(params=params, opt_state=opt_state)
+
     def _prep(self, batch, train: bool):
         self._aug_rng, key = jax.random.split(self._aug_rng)
-        images = preprocess(jnp.asarray(batch.images), key,
+        images = jnp.asarray(batch.images)
+        tokens = jnp.asarray(batch.tokens)
+        if self.mesh is not None:
+            from mdcnet_tpu.parallel import sharding as sh
+            images, tokens = sh.data_parallel_batch(self.mesh, images, tokens)
+        images = preprocess(images, key,
                             self.cfg.data.img_size, train=train,
                             bc_p=self.cfg.data.brightness_contrast_p,
                             gauss_p=self.cfg.data.gaussian_blur_p,
                             motion_p=self.cfg.data.motion_blur_p)
-        return images, jnp.asarray(batch.tokens)
+        return images, tokens
 
     def train_epoch(self, state: TrainState, loader) -> Dict[str, float]:
         meters: Dict[str, AvgMeter] = {}
