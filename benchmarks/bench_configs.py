@@ -125,10 +125,8 @@ def config4(quick):
                       (batch, 1))
 
     @jax.jit
-    def step(images, gt_seq, rng):
-        res = generate(model, params, images, rng,
-                       steps=cfg.infer.generation_steps, early_exit=False)
-        pred = decode_jax.decode_groups(res.tokens, max_groups=8)
+    def box_metrics(tokens, gt_seq):
+        pred = decode_jax.decode_groups(tokens, max_groups=8)
         gt = decode_jax.decode_groups(gt_seq, max_groups=8)
         pb = decode_jax.rescale_boxes(pred.boxes, 224, 224, 224)
         gb = decode_jax.rescale_boxes(gt.boxes, 224, 224, 224)
@@ -137,7 +135,14 @@ def config4(quick):
         iou = box_ops.mean_max_iou(pb, pred.valid_mask(), gb, gt.valid_mask())
         return loss, iou
 
-    p50, mean = timed(lambda: step(images, gt_seq, jax.random.PRNGKey(2)),
+    def step(rng):
+        # generate is itself jitted; wrapping it in another jit makes one
+        # giant program the remote compiler rejects — keep two dispatches
+        res = generate(model, params, images, rng,
+                       steps=cfg.infer.generation_steps, early_exit=False)
+        return box_metrics(res.tokens, gt_seq)
+
+    p50, mean = timed(lambda: step(jax.random.PRNGKey(2)),
                       iters=2 if quick else 5)
     report("4_fused_caption_iou_eval", images_per_sec=round(batch / mean, 1))
 

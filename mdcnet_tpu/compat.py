@@ -94,7 +94,8 @@ def get_transform_valid(size: int):
 # --- data_processing.py ------------------------------------------------------
 from mdcnet_tpu.text.vocabulary import Vocabulary            # data_processing.py:15-90
 from mdcnet_tpu.text.tokenizer import SeqTokenizer as Tokenizer  # :224-783
-from mdcnet_tpu.data.pipeline import (SteelDefectDataset as VOCDataset,
+from mdcnet_tpu.data.pipeline import (ImageOnlyDataset as VOCDatasetTest,
+                                      SteelDefectDataset as VOCDataset,
                                       make_loaders)
 
 

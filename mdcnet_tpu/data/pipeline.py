@@ -170,6 +170,47 @@ class DataLoader:
         self._epoch += 1
 
 
+class ImageOnlyDataset:
+    """Image-path-only dataset for pure inference (VOCDatasetTest,
+    inference_p.py:41-58 / inference_trail_after_good_map.py:155-182):
+    yields uint8 image batches, no annotations required."""
+
+    def __init__(self, img_paths, img_size: int = 224,
+                 synthetic_images: bool = False, native_size: int = 256):
+        self.paths = list(img_paths)
+        self.img_size = img_size
+        self.synthetic = synthetic_images
+        self.native_size = native_size
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def batches(self, batch_size: int):
+        from PIL import Image
+        for s in range(0, len(self.paths), batch_size):
+            chunk = self.paths[s: s + batch_size]
+            images = np.zeros((len(chunk), self.img_size, self.img_size, 3),
+                              np.uint8)
+            keep = []
+            for i, p in enumerate(chunk):
+                if self.synthetic:
+                    rng = np.random.default_rng(s + i)
+                    img = rng.integers(0, 255, (self.native_size,
+                                                self.native_size, 3),
+                                       dtype=np.uint8)
+                else:
+                    img = load_image(p)
+                    if img is None:
+                        continue
+                images[len(keep)] = np.asarray(
+                    Image.fromarray(img).resize((self.img_size,
+                                                 self.img_size)),
+                    dtype=np.uint8)
+                keep.append(p)
+            if keep:
+                yield images[: len(keep)], keep
+
+
 def make_loaders(records, tokenizer: SeqTokenizer, cfg: DataConfig,
                  synthetic_images: bool = False
                  ) -> Tuple[DataLoader, DataLoader, DataLoader]:

@@ -111,3 +111,18 @@ class TestTrainerSmoke:
                                   synthetic_images=True, epochs=2)
         # split of 40 rows -> 31 train rows -> 3 drop-last batches of 8
         assert int(state.step) == 2 * 3
+
+
+class TestImageOnlyDataset:
+    def test_batches_shapes_and_remainder(self):
+        from mdcnet_tpu.data.pipeline import ImageOnlyDataset
+        ds = ImageOnlyDataset([f"img_{i}.jpg" for i in range(5)],
+                              img_size=32, synthetic_images=True)
+        batches = list(ds.batches(2))
+        assert [b[0].shape[0] for b in batches] == [2, 2, 1]
+        assert all(b[0].dtype == np.uint8 for b in batches)
+
+    def test_missing_files_skipped(self):
+        from mdcnet_tpu.data.pipeline import ImageOnlyDataset
+        ds = ImageOnlyDataset(["/nonexistent/a.jpg"], img_size=32)
+        assert list(ds.batches(2)) == []
