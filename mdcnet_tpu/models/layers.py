@@ -53,6 +53,7 @@ class MultiHeadAttention(nn.Module):
     dim: int
     num_heads: int
     ring_axis: Optional[str] = None
+    use_flash: bool = False  # Pallas blockwise attention (long sequences)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -81,6 +82,9 @@ class MultiHeadAttention(nn.Module):
             from mdcnet_tpu.parallel.context import ring_attention
             assert bias is None, "ring attention path is bias-free (encoder)"
             out = ring_attention(q, k, v, axis_name=self.ring_axis)
+        elif self.use_flash and bias is None:
+            from mdcnet_tpu.ops.attention import flash_attention
+            out = flash_attention(q, k, v)
         else:
             out = dot_product_attention(q, k, v, bias)
         return self.out_proj(self.head_merge(out))

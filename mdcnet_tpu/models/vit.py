@@ -68,6 +68,7 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     layerscale_init: float = 1e-6
     ring_axis: Optional[str] = None
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -80,7 +81,8 @@ class ViTBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-6, **kw, name="norm1")(x)
         h = MultiHeadAttention(self.dim, self.num_heads,
-                               ring_axis=self.ring_axis, **kw,
+                               ring_axis=self.ring_axis,
+                               use_flash=self.use_flash, **kw,
                                name="attn")(h, h, h)
         x = x + h * ls("gamma1")
 
@@ -114,6 +116,7 @@ class ViTEncoder(nn.Module):
     out_dim: int = 1024
     use_cls_token: bool = True
     ring_axis: Optional[str] = None
+    use_flash: bool = False  # Pallas blockwise attention in the blocks
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -134,7 +137,8 @@ class ViTEncoder(nn.Module):
                                         self.param_dtype)
         self.blocks = [ViTBlock(self.dim, self.num_heads, self.mlp_ratio,
                                 self.layerscale_init,
-                                ring_axis=self.ring_axis, **kw,
+                                ring_axis=self.ring_axis,
+                                use_flash=self.use_flash, **kw,
                                 name=f"block{i}")
                        for i in range(self.depth)]
         self.norm = nn.LayerNorm(epsilon=1e-6, **kw)

@@ -56,6 +56,34 @@ def expected_boxes(logits: jnp.ndarray, label_positions: jnp.ndarray,
     return jnp.einsum("bcv,v->bc", probs, bins)
 
 
+def differentiable_giou_loss(logits: jnp.ndarray, y_expected: jnp.ndarray,
+                             num_bins: int, width: int,
+                             height: int) -> jnp.ndarray:
+    """Fully differentiable GIoU: predicted boxes are softmax-expected
+    coordinates at the positions the GT structure dictates (teacher forcing
+    makes GT and logit positions coincide); GT boxes come from the GT
+    coordinate tokens.  The fix-behind-a-flag for the reference's
+    non-differentiable sampled-token GIoU (SURVEY §7 hard parts)."""
+    from mdcnet_tpu.config import LABEL_END, LABEL_START
+
+    in_window = (y_expected >= LABEL_START) & (y_expected <= LABEL_END)
+    has_label = jnp.any(in_window, axis=-1)
+    label_pos = jnp.argmax(in_window, axis=-1)
+
+    pred = expected_boxes(logits, label_pos, num_bins)          # (B, 4) bins
+    gt = jax.vmap(lambda y, p: jax.lax.dynamic_slice(y, (p + 1,), (4,))
+                  )(y_expected, label_pos).astype(jnp.float32)
+
+    scale = jnp.array([width, height, width, height], jnp.float32)
+    scale = scale / (num_bins - 1)
+    pred = pred * scale
+    gt = gt * scale
+    giou = box_ops.pairwise_giou(pred[:, None, :], gt[:, None, :])[:, 0, 0]
+    per_image = jnp.where(has_label, 1.0 - giou, 0.0)
+    n = jnp.maximum(jnp.sum(has_label), 1)
+    return jnp.sum(per_image) / n
+
+
 def composite_loss(logits: jnp.ndarray, targets: jnp.ndarray, params,
                    giou_loss_value: jnp.ndarray,
                    iou_loss_weight: float = 0.5,

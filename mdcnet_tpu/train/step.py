@@ -78,6 +78,12 @@ def make_train_step(model, cfg):
         giou_loss, box_metrics = _box_metrics(
             sampled, scores, y_expected, num_bins, width, height)
 
+        if not replicate:
+            # the fixed (differentiable) box loss: expected-coordinate GIoU
+            # against the GT structure; the sampled-token GIoU stays a metric
+            giou_loss = losses.differentiable_giou_loss(
+                logits, y_expected, num_bins, width, height)
+
         total, metrics = losses.composite_loss(
             logits, y_expected, params, giou_loss, iou_loss_weight=iou_w,
             l1_lambda=l1_lambda, replicate_nondiff_giou=replicate)

@@ -69,3 +69,19 @@ class TestDecodeAttention:
         out = decode_attention(q, k, v, jnp.asarray(3, jnp.int32), block_k=16)
         assert np.isfinite(np.asarray(out)).all()
         np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+
+class TestFlashInEncoder:
+    def test_flash_encoder_matches_default(self):
+        import dataclasses
+        import jax
+        from mdcnet_tpu.models.vit import ViTEncoder
+        enc = ViTEncoder(patch_size=16, img_size=64, dim=64, depth=2,
+                         num_heads=2, out_dim=64)
+        enc_flash = ViTEncoder(patch_size=16, img_size=64, dim=64, depth=2,
+                               num_heads=2, out_dim=64, use_flash=True)
+        images = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+        params = enc.init(jax.random.PRNGKey(1), images)
+        a = enc.apply(params, images)
+        b = enc_flash.apply(params, images)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)

@@ -108,3 +108,42 @@ class TestTrainStep:
             if k == "mean_max_iou":
                 continue  # may be nan when nothing decodes early in training
             assert np.isfinite(float(v)), k
+
+
+class TestDifferentiableGiou:
+    def test_gradient_flows_through_box_head(self):
+        from mdcnet_tpu.train.losses import differentiable_giou_loss
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(2, 12, 332)).astype(np.float32))
+        y = np.full((2, 12), PAD_ID, np.int32)
+        y[:, :11] = [303, 270, 304, 263, 10, 20, 110, 120, 301, PAD_ID, PAD_ID]
+        y = jnp.asarray(y)
+        loss, grads = jax.value_and_grad(
+            lambda lg: differentiable_giou_loss(lg, y, 224, 224, 224))(logits)
+        assert np.isfinite(float(loss))
+        # gradient is nonzero exactly at the coordinate positions (4..7)
+        g = np.asarray(grads)
+        assert np.abs(g[:, 4:8, :224]).sum() > 0
+        assert np.abs(g[:, :4]).sum() == 0
+
+    def test_train_step_with_fix_flag(self):
+        import dataclasses
+        from mdcnet_tpu.config import test_preset
+        from mdcnet_tpu.models import build_model
+        from mdcnet_tpu.train.state import create_train_state
+        from mdcnet_tpu.train.step import make_train_step
+        cfg = test_preset()
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, replicate_nondiff_giou=False))
+        model = build_model(cfg.model)
+        rng = jax.random.PRNGKey(0)
+        images = jax.random.uniform(rng, (2, cfg.data.img_size,
+                                          cfg.data.img_size, 3))
+        y = np.full((2, cfg.data.max_len), PAD_ID, np.int32)
+        y[:, :11] = [300, 303, 270, 271, 304, 263, 10, 20, 110, 120, 301]
+        y = jnp.asarray(y)
+        state = create_train_state(model, cfg, rng, images, y[:, :-1])
+        train_step, _ = make_train_step(model, cfg)
+        state, metrics = train_step(state, images, y)
+        assert np.isfinite(float(metrics["giou_loss"]))
+        assert float(metrics["giou_loss"]) > 0
