@@ -57,11 +57,71 @@ def generate(model, params, images: jnp.ndarray, rng: jax.Array,
     GC10-length (~21 token) sequences.
     """
     encoder_out = model.apply(params, images, method="encode")
+    if not getattr(model.decoder, "prepend_bos", True):
+        # Axial variant: its attention block runs non-causally over the whole
+        # padded target (axial_model.py:101-103) — every position's embedding
+        # depends on all positions, so KV caching would change outputs.
+        # Generate through full predict re-forwards, like the reference.
+        return _generate_uncached(model, params, encoder_out, rng,
+                                  steps=steps, top_k=top_k, top_p=top_p,
+                                  greedy=greedy, conf_every=conf_every,
+                                  temperature=temperature,
+                                  early_exit=early_exit)
     return generate_from_memory(model, params, encoder_out, rng, steps=steps,
                                 top_k=top_k, top_p=top_p, greedy=greedy,
                                 conf_every=conf_every,
                                 temperature=temperature,
                                 early_exit=early_exit)
+
+
+def _generate_uncached(model, params, encoder_out, rng, steps, top_k, top_p,
+                       greedy, conf_every, temperature, early_exit):
+    """Full-forward generation for decoders whose target mixing is not
+    causal (axial variant): each step runs ``predict`` on the PAD-padded
+    prefix (static shapes; the reference's own inference cost model)."""
+    decoder = model.decoder
+    batch = encoder_out.shape[0]
+    width = decoder.max_len - 1
+    steps = min(steps, width - 1)
+    n_confs = (steps + conf_every - 1) // conf_every
+
+    tokens0 = jnp.full((batch, width), PAD_ID, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(BOS_ID)
+    confs0 = jnp.zeros((batch, steps), jnp.float32)
+
+    def cond_fn(state):
+        i, _, finished, _, _ = state
+        not_done = jnp.logical_not(jnp.all(finished)) if early_exit else True
+        return (i < steps) & not_done
+
+    def body_fn(state):
+        i, tokens, finished, confs, rng = state
+        out = model.apply(params, encoder_out, tokens,
+                          method=lambda m, e, t: m.decoder.predict(e, t))
+        # prefix holds i+1 real tokens; next-token logits sit at
+        # output_with_bos[:, i+1] (== raw logits at position i)
+        idx = (i + 1)[None, None, None].astype(jnp.int32).repeat(batch, 0)
+        logits = jnp.take_along_axis(out, idx, axis=1)[:, 0] / temperature
+        filtered = top_k_top_p_filtering(logits, top_k, top_p)
+        probs = jax.nn.softmax(filtered, axis=-1)
+        conf = jnp.max(probs, axis=-1)
+        if greedy:
+            nxt = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        else:
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(sub, filtered, axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, PAD_ID, nxt)
+        finished = finished | (nxt == EOS_ID)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
+        confs = jax.lax.dynamic_update_slice(confs, conf[:, None], (0, i))
+        return (i + 1, tokens, finished, confs, rng)
+
+    state = (jnp.array(0, jnp.int32), tokens0, jnp.zeros((batch,), bool),
+             confs0, rng)
+    state = jax.lax.while_loop(cond_fn, body_fn, state)
+    tokens, confs = state[1], state[3]
+    return GenerateResult(tokens=tokens[:, : steps + 1],
+                          confs=confs[:, ::conf_every][:, :n_confs])
 
 
 @functools.partial(

@@ -43,27 +43,29 @@ def context_parallel_encoder(encoder: ViTEncoder, mesh: Mesh) -> ViTEncoder:
 
 def encode_context_parallel(encoder: ViTEncoder, params, images: jnp.ndarray,
                             mesh: Mesh) -> jnp.ndarray:
-    """Full context-parallel encode: (B, H, W, 3) -> (B, N, out_dim)."""
+    """Full context-parallel encode: (B, H, W, 3) -> (B, N, out_dim).
+    One jitted program: embed -> shard_map'd ring-attention block stack ->
+    bottleneck (eager dispatch over a remote tunnel costs ~30 ms per op)."""
     ring_enc = context_parallel_encoder(encoder, mesh)
-
-    def embed(imgs):
-        return encoder.apply(params, imgs, method="embed")
-
-    def blocks_local(tokens):
-        return ring_enc.apply(params, tokens, method="run_blocks")
-
-    def finish(tokens):
-        return encoder.apply(params, tokens, method="finish")
-
-    tokens = embed(images)
     spec = P("data", "context", None)
-    sharded_blocks = shard_map(blocks_local, mesh=mesh, in_specs=(spec,),
-                               out_specs=spec, check_rep=False)
-    with mesh:
+
+    def blocks_local(p, tokens):
+        return ring_enc.apply(p, tokens, method="run_blocks")
+
+    sharded_blocks = shard_map(blocks_local, mesh=mesh,
+                               in_specs=(P(), spec), out_specs=spec,
+                               check_rep=False)
+
+    @jax.jit
+    def encode(p, imgs):
+        tokens = encoder.apply(p, imgs, method="embed")
         tokens = jax.lax.with_sharding_constraint(
             tokens, NamedSharding(mesh, spec))
-        tokens = sharded_blocks(tokens)
-        return finish(tokens)
+        tokens = sharded_blocks(p, tokens)
+        return encoder.apply(p, tokens, method="finish")
+
+    with mesh:
+        return encode(params, images)
 
 
 def streaming_eval_step(model, params, images: jnp.ndarray, mesh: Mesh,

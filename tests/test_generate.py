@@ -119,3 +119,33 @@ class TestPostprocess:
             assert labels[0] == [263]
             assert captions[0].startswith("the defect silk_spot")
         assert labels[1] is None and bboxes[1] is None
+
+
+class TestAxialGeneration:
+    def test_axial_uncached_matches_reference_loop(self):
+        """The axial variant generates via full predict re-forwards; tokens
+        must match the manual reference loop exactly."""
+        import dataclasses
+        from mdcnet_tpu.config import test_preset
+        from mdcnet_tpu.models import build_model
+        cfg = dataclasses.replace(test_preset().model, axial=True)
+        model = build_model(cfg)
+        rng = jax.random.PRNGKey(0)
+        images = jax.random.uniform(jax.random.PRNGKey(3),
+                                    (2, cfg.img_size, cfg.img_size, 3))
+        params = model.init({"params": rng}, images,
+                            jnp.zeros((2, 10), jnp.int32))
+        steps = 8
+        got = generate(model, params, images, jax.random.PRNGKey(0),
+                       steps=steps, greedy=True, early_exit=False)
+        # manual loop: predict on PAD-padded prefix, argmax at prefix end
+        width = cfg.max_len - 1
+        prefix = np.full((2, width), PAD_ID, np.int32)
+        prefix[:, 0] = BOS_ID
+        for i in range(steps):
+            out = model.apply(params, images, jnp.asarray(prefix),
+                              method="predict")
+            nxt = np.asarray(out)[:, i + 1, :].argmax(-1)
+            prefix[:, i + 1] = nxt
+        np.testing.assert_array_equal(np.asarray(got.tokens),
+                                      prefix[:, : steps + 1])
