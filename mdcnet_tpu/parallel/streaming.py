@@ -41,11 +41,21 @@ def context_parallel_encoder(encoder: ViTEncoder, mesh: Mesh) -> ViTEncoder:
     return ViTEncoder(**fields)
 
 
-def encode_context_parallel(encoder: ViTEncoder, params, images: jnp.ndarray,
-                            mesh: Mesh) -> jnp.ndarray:
-    """Full context-parallel encode: (B, H, W, 3) -> (B, N, out_dim).
-    One jitted program: embed -> shard_map'd ring-attention block stack ->
-    bottleneck (eager dispatch over a remote tunnel costs ~30 ms per op)."""
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _encode_fn(encoder: ViTEncoder, mesh: Mesh):
+    """Build (and cache) the jitted context-parallel encode program for an
+    (encoder, mesh) pair — rebuilding the jit closure per call would
+    recompile every invocation."""
+    if mesh.shape["context"] == 1:
+        # no sequence sharding to do: plain single-program encode
+        @jax.jit
+        def encode_plain(p, imgs):
+            return encoder.apply(p, imgs)
+        return encode_plain
+
     ring_enc = context_parallel_encoder(encoder, mesh)
     spec = P("data", "context", None)
 
@@ -64,8 +74,16 @@ def encode_context_parallel(encoder: ViTEncoder, params, images: jnp.ndarray,
         tokens = sharded_blocks(p, tokens)
         return encoder.apply(p, tokens, method="finish")
 
+    return encode
+
+
+def encode_context_parallel(encoder: ViTEncoder, params, images: jnp.ndarray,
+                            mesh: Mesh) -> jnp.ndarray:
+    """Full context-parallel encode: (B, H, W, 3) -> (B, N, out_dim).
+    One jitted program: embed -> shard_map'd ring-attention block stack ->
+    bottleneck (eager dispatch over a remote tunnel costs ~30 ms per op)."""
     with mesh:
-        return encode(params, images)
+        return _encode_fn(encoder, mesh)(params, images)
 
 
 def streaming_eval_step(model, params, images: jnp.ndarray, mesh: Mesh,
