@@ -78,8 +78,13 @@ def cmd_train(args):
     records, tokenizer, cfg = load_data(args, cfg)
     logger = MetricLogger(csv_path=args.log_csv or None,
                           use_wandb=args.wandb)
+    mesh = None
+    if args.mesh_data > 1 or args.mesh_model > 1:
+        from mdcnet_tpu.parallel import sharding as sh
+        mesh = sh.make_mesh(data=args.mesh_data, model=args.mesh_model)
     state = train_from_config(cfg, records, tokenizer, logger=logger,
-                              synthetic_images=args.synthetic_images)
+                              synthetic_images=args.synthetic_images,
+                              mesh=mesh)
     print(f"done: {int(state.step)} steps")
 
 
@@ -221,6 +226,10 @@ def main(argv=None):
     p.add_argument("--checkpoint-dir", default="")
     p.add_argument("--log-csv", default="")
     p.add_argument("--wandb", action="store_true")
+    p.add_argument("--mesh-data", type=int, default=1,
+                   help="data-parallel axis size")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="tensor-parallel axis size")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("infer")

@@ -134,8 +134,9 @@ class Trainer:
 
 def train_from_config(cfg, records, tokenizer, logger=None,
                       synthetic_images: bool = False,
-                      epochs: Optional[int] = None) -> TrainState:
-    """Full training entry: build loaders, model, state; run fit()."""
+                      epochs: Optional[int] = None, mesh=None) -> TrainState:
+    """Full training entry: build loaders, model, state; run fit().
+    Pass ``mesh`` for sharded (dp/tp) training."""
     from mdcnet_tpu.data.pipeline import make_loaders
     from mdcnet_tpu.models import build_model
 
@@ -150,7 +151,8 @@ def train_from_config(cfg, records, tokenizer, logger=None,
     state = create_train_state(model, cfg, rng, sample_images, sample_tgt)
     ckpt = CheckpointManager(cfg.train.checkpoint_dir,
                              cfg.train.keep_checkpoints)
-    trainer = Trainer(model, cfg, logger=logger, checkpoints=ckpt)
+    trainer = Trainer(model, cfg, logger=logger, checkpoints=ckpt, mesh=mesh)
+    state = trainer.shard_state(state)
     return trainer.fit(state, train_loader, valid_loader, epochs=epochs,
                        test_loader=test_loader, tokenizer=tokenizer,
                        test_save_dir=cfg.train.checkpoint_dir)
