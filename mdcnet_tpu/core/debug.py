@@ -28,7 +28,7 @@ def seed_everything(seed: int = 42) -> jax.Array:
 @contextlib.contextmanager
 def debug_nans(enable: bool = True) -> Iterator[None]:
     """Trap NaNs at op boundaries inside the block."""
-    prev = jax.config.read("jax_debug_nans")
+    prev = jax.config.jax_debug_nans
     jax.config.update("jax_debug_nans", enable)
     try:
         yield

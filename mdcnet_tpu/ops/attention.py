@@ -170,11 +170,18 @@ flash_attention.defvjp(_flash_fwd, _flash_bwd)
 def decode_attention(q: jnp.ndarray, k_cache: jnp.ndarray,
                      v_cache: jnp.ndarray, pos: jnp.ndarray,
                      block_k: int = 16) -> jnp.ndarray:
-    """Cached single-position attention.
+    """Cached single-position attention (bf16, manual DMA).
+
+    NOTE: superseded by ops/decode_kernel.fused_int8_decode_attention for
+    the production decode path; this variant's manual per-program DMA is
+    measurably slower than grid-pipelined blocks (docs/PERF.md) and its
+    dynamic-offset copies require the DMA-alignment care documented there.
+    Kept as the simplest skip-unused-cache-blocks exemplar, tested in
+    interpret mode.
 
     q: (B, H, D); k_cache/v_cache: (B, H, L, D); pos: scalar int32 (current
-    position; keys at indices > pos are masked and, on TPU, never copied
-    from HBM).  Returns (B, H, D).
+    position; keys at indices > pos are masked and never copied from HBM).
+    Returns (B, H, D).
     """
     b, h, d = q.shape
     cache_len = k_cache.shape[2]
