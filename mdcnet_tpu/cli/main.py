@@ -75,20 +75,56 @@ def cmd_train(args):
     if args.checkpoint_dir:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, checkpoint_dir=args.checkpoint_dir))
+    if args.pretrained:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, pretrained_path=args.pretrained))
     records, tokenizer, cfg = load_data(args, cfg)
+    # full config dump at run init (trail_01.py:135-151 wandb.init(config=…))
     logger = MetricLogger(csv_path=args.log_csv or None,
-                          use_wandb=args.wandb)
+                          use_wandb=args.wandb,
+                          wandb_kwargs={"project": "mdcnet_tpu",
+                                        "config": dataclasses.asdict(cfg)})
     mesh = None
     if args.mesh_data > 1 or args.mesh_model > 1:
         from mdcnet_tpu.parallel import sharding as sh
         mesh = sh.make_mesh(data=args.mesh_data, model=args.mesh_model)
     state = train_from_config(cfg, records, tokenizer, logger=logger,
                               synthetic_images=args.synthetic_images,
-                              mesh=mesh)
+                              mesh=mesh, resume=not args.no_resume)
     print(f"done: {int(state.step)} steps")
 
 
+def _init_params(model, cfg, images, checkpoint: str):
+    """Init params at the batch shape; restore from a reference ``.pth`` or
+    an orbax checkpoint directory when given."""
+    import jax
+    import jax.numpy as jnp
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(1)}, images,
+        jnp.zeros((images.shape[0], 10), jnp.int32))
+    if not checkpoint:
+        return params
+    if checkpoint.endswith(".pth"):
+        from mdcnet_tpu.models.torch_convert import (convert_state_dict,
+                                                     load_pth)
+        return convert_state_dict(load_pth(checkpoint),
+                                  cfg.model.enc_depth, cfg.model.dec_layers)
+    from mdcnet_tpu.train.checkpoint import CheckpointManager
+    from mdcnet_tpu.train.state import TrainState, make_optimizer
+    tx = make_optimizer(cfg.train)
+    template = TrainState(params=params,
+                          opt_state=tx.init(params["params"]),
+                          step=jnp.zeros((), jnp.int32),
+                          rng=jax.random.PRNGKey(0))
+    return CheckpointManager(checkpoint).restore(template).params
+
+
 def cmd_infer(args):
+    """Full-split inference driver: generate on every test batch, print a
+    JSON row per image, optionally save prediction-overlay images
+    (inference_p.py:238-258 / inference_trail_after_good_map.py:232-258)."""
+    import os
+
     import jax
     import jax.numpy as jnp
     from mdcnet_tpu.data.pipeline import make_loaders
@@ -103,20 +139,18 @@ def cmd_infer(args):
                                      synthetic_images=args.synthetic_images)
     rng = jax.random.PRNGKey(0)
     params = None
-    for batch in test_loader:
+    id2cls = {c: tokenizer.vocab.itos.get(c, str(c))
+              for c in range(258, 268)}
+    if args.save_overlays:
+        os.makedirs(args.save_overlays, exist_ok=True)
+    img_idx = 0
+    for b, batch in enumerate(test_loader):
+        if args.limit_batches and b >= args.limit_batches:
+            break
         images = preprocess(jnp.asarray(batch.images), rng,
                             cfg.data.img_size, train=False)
         if params is None:
-            params = jax.jit(model.init)(
-                {"params": jax.random.PRNGKey(1)}, images,
-                jnp.zeros((images.shape[0], 10), jnp.int32))
-            if args.checkpoint:
-                from mdcnet_tpu.models.torch_convert import (convert_state_dict,
-                                                             load_pth)
-                if args.checkpoint.endswith(".pth"):
-                    params = convert_state_dict(load_pth(args.checkpoint),
-                                                cfg.model.enc_depth,
-                                                cfg.model.dec_layers)
+            params = _init_params(model, cfg, images, args.checkpoint)
         if args.beam > 1:
             out = beam_search(model, params, images,
                               steps=cfg.infer.generation_steps,
@@ -132,7 +166,15 @@ def cmd_infer(args):
         for i in range(len(labels)):
             print(json.dumps({"labels": labels[i], "bboxes": bboxes[i],
                               "caption": captions[i]}))
-        break  # one batch per invocation keeps the smoke path fast
+            if args.save_overlays and labels[i]:
+                from mdcnet_tpu.utils.drawing import visualize
+                img = np.asarray(batch.images[i]).astype("uint8")
+                overlay = visualize(img, bboxes[i], labels[i],
+                                    id2cls=id2cls,
+                                    captions=[captions[i]] * len(labels[i]))
+                overlay.save(os.path.join(args.save_overlays,
+                                          f"pred_{img_idx:05d}.png"))
+            img_idx += 1
 
 
 def cmd_eval(args):
@@ -154,13 +196,13 @@ def cmd_eval(args):
     map_metric = MeanAveragePrecision(iou_threshold=0.3, class_metrics=True)
     bleus = []
     params = None
-    for batch in valid_loader:
+    for b, batch in enumerate(valid_loader):
+        if args.limit_batches and b >= args.limit_batches:
+            break
         images = preprocess(jnp.asarray(batch.images), rng,
                             cfg.data.img_size, train=False)
         if params is None:
-            params = jax.jit(model.init)(
-                {"params": jax.random.PRNGKey(1)}, images,
-                jnp.zeros((images.shape[0], 10), jnp.int32))
+            params = _init_params(model, cfg, images, args.checkpoint)
         res = generate(model, params, images, rng,
                        steps=cfg.infer.generation_steps)
         pred = decode_jax.decode_groups(res.tokens, max_groups=8)
@@ -175,9 +217,12 @@ def cmd_eval(args):
             ref = tokenizer.decode_captions(batch.tokens[i]).tolist()
             hyp = tokenizer.decode_captions(np.asarray(res.tokens[i])).tolist()
             bleus.extend(calculate_bleu_scores([ref], [hyp]))
-        break
-    print(json.dumps({"map@0.3": map_metric.compute()["map"],
-                      "bleu": float(np.mean(bleus)) if bleus else 0.0}))
+    scores = map_metric.compute()
+    out = {"map@0.3": scores["map"],
+           "bleu": float(np.mean(bleus)) if bleus else 0.0}
+    for cls, ap in scores.get("map_per_class", {}).items():
+        out[f"map@0.3/class_{cls}"] = ap
+    print(json.dumps(out))
 
 
 def cmd_streaming(args):
@@ -230,16 +275,30 @@ def main(argv=None):
                    help="data-parallel axis size")
     p.add_argument("--mesh-model", type=int, default=1,
                    help="tensor-parallel axis size")
+    p.add_argument("--no-resume", action="store_true",
+                   help="ignore existing checkpoints, start fresh")
+    p.add_argument("--pretrained", default="",
+                   help="converted ImageNet encoder .npz "
+                        "(scripts/convert_pretrained.py)")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("infer")
     _add_common(p)
-    p.add_argument("--checkpoint", default="")
+    p.add_argument("--checkpoint", default="",
+                   help=".pth file or orbax checkpoint directory")
     p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--limit-batches", type=int, default=0,
+                   help="stop after N batches (0 = whole split)")
+    p.add_argument("--save-overlays", default="",
+                   help="directory for prediction-overlay images")
     p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("eval")
     _add_common(p)
+    p.add_argument("--checkpoint", default="",
+                   help=".pth file or orbax checkpoint directory")
+    p.add_argument("--limit-batches", type=int, default=0,
+                   help="stop after N batches (0 = whole split)")
     p.set_defaults(fn=cmd_eval)
 
     p = sub.add_parser("streaming")

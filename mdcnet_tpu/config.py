@@ -110,6 +110,10 @@ class ModelConfig:
     patch_dropout_rate: float = 0.02  # model.py:148
     axial: bool = False            # use the axial-attention decoder variant
     kv_quant: bool = False         # int8 KV caches for decode (perf mode)
+    # .npz asset produced by scripts/convert_pretrained.py; when set, the
+    # encoder starts from these ImageNet-pretrained weights (the reference
+    # uses timm pretrained=True, model.py:15-17)
+    pretrained_path: str = ""
     # numerics
     dtype: str = "bfloat16"        # compute dtype on TPU
     param_dtype: str = "float32"

@@ -117,18 +117,23 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def shard_state(state, mesh: Mesh):
-    """Shard a TrainState: params by rules, optimizer moments like their
-    params, scalars replicated."""
-    params = shard_params(state.params, mesh)
-    param_shardings = jax.tree_util.tree_map(lambda p: p.sharding, params)
+def shard_state(state, mesh: Mesh, tx):
+    """Lay a full TrainState out on the mesh — the single blessed path.
 
-    def shard_opt(leaf):
-        # optax adamw moments mirror the param tree structure; match by shape
-        return leaf
-    # Simple + correct: let pjit lay out opt_state from its first use.
+    Params are placed by PARAM_RULES; optimizer moments are sharded exactly
+    like their params (GSPMD propagates the input shardings through a jitted
+    ``tx.init``, whose output layout we then apply to the *existing* moment
+    values, so resumed states keep their Adam statistics); step/rng are
+    replicated.
+    """
+    params = shard_params(state.params, mesh)
+    inner = params["params"] if (isinstance(params, dict)
+                                 and "params" in params) else params
+    with mesh:
+        layout = jax.jit(tx.init)(inner)
+    opt_shardings = jax.tree_util.tree_map(lambda x: x.sharding, layout)
+    opt_state = jax.device_put(state.opt_state, opt_shardings)
     replicated = NamedSharding(mesh, P())
-    opt_state = jax.device_put(state.opt_state, replicated)
     return state.replace(params=params, opt_state=opt_state,
                          step=jax.device_put(state.step, replicated),
                          rng=jax.device_put(state.rng, replicated))

@@ -44,16 +44,14 @@ class Trainer:
         self._aug_rng = jax.random.PRNGKey(cfg.train.seed + 17)
 
     def shard_state(self, state):
-        """Lay a fresh TrainState out on the mesh (no-op without one)."""
+        """Lay a TrainState out on the mesh (no-op without one).  Delegates
+        to the blessed ``sharding.shard_state`` so optimizer moments are
+        sharded like their params with their values preserved."""
         if self.mesh is None:
             return state
         from mdcnet_tpu.parallel import sharding as sh
         from mdcnet_tpu.train.state import make_optimizer
-        with self.mesh:
-            params = sh.shard_params(state.params, self.mesh)
-            opt_state = jax.jit(make_optimizer(self.cfg.train).init)(
-                params["params"])
-            return state.replace(params=params, opt_state=opt_state)
+        return sh.shard_state(state, self.mesh, make_optimizer(self.cfg.train))
 
     def _prep(self, batch, train: bool):
         self._aug_rng, key = jax.random.split(self._aug_rng)
@@ -80,18 +78,55 @@ class Trainer:
         self.state = state
         return {k: m.avg for k, m in meters.items()}
 
-    def valid_epoch(self, state: TrainState, loader) -> Dict[str, float]:
+    def valid_epoch(self, state: TrainState, loader, tokenizer=None,
+                    class_metrics: bool = True) -> Dict[str, float]:
+        """Validation epoch with the reference's full metric battery
+        (valid_epoch_bbox, train_val_epoch.py:436-723): loss family and box
+        metrics from the jitted eval step, plus — when a tokenizer is given —
+        caption BLEU on argmax-sampled sequences (:477-518) and per-epoch
+        mAP@0.3 with per-class AP (:630-665,709-710)."""
         meters: Dict[str, AvgMeter] = {}
+        map_metric = None
+        if tokenizer is not None:
+            from mdcnet_tpu.evals import (MeanAveragePrecision,
+                                          calculate_bleu_scores)
+            map_metric = MeanAveragePrecision(iou_threshold=0.3,
+                                              class_metrics=class_metrics)
         for batch in loader:
             images, tokens = self._prep(batch, train=False)
-            metrics = self.eval_step(state, images, tokens)
+            metrics, aux = self.eval_step(state, images, tokens)
             n = batch.images.shape[0]
             for k, v in metrics.items():
                 val = float(v)
                 if np.isnan(val):
                     continue
                 meters.setdefault(k, AvgMeter(k)).update(val, n)
-        return {k: m.avg for k, m in meters.items()}
+            if tokenizer is None:
+                continue
+            sampled = np.asarray(aux["sampled"])
+            gt_tokens = np.asarray(aux["gt_tokens"])
+            pb, pl = np.asarray(aux["pred_boxes"]), np.asarray(aux["pred_labels"])
+            ps, pc = np.asarray(aux["pred_scores"]), np.asarray(aux["pred_count"])
+            gb, gl = np.asarray(aux["gt_boxes"]), np.asarray(aux["gt_labels"])
+            gc = np.asarray(aux["gt_count"])
+            for i in range(n):
+                ref = tokenizer.decode_captions(gt_tokens[i]).tolist()
+                hyp = tokenizer.decode_captions(sampled[i]).tolist()
+                meters.setdefault("bleu", AvgMeter("bleu")).update(
+                    calculate_bleu_scores([ref], [hyp])[0])
+                n_p, n_g = int(pc[i]), int(gc[i])
+                map_metric.update(
+                    [{"boxes": pb[i][:n_p], "scores": ps[i][:n_p],
+                      "labels": pl[i][:n_p]}],
+                    [{"boxes": gb[i][:n_g], "labels": gl[i][:n_g]}])
+        out = {k: m.avg for k, m in meters.items()}
+        if map_metric is not None:
+            scores = map_metric.compute()
+            out["map@0.3"] = scores["map"]
+            if class_metrics:
+                for cls, ap in scores.get("map_per_class", {}).items():
+                    out[f"map@0.3/class_{cls}"] = ap
+        return out
 
     def fit(self, state: TrainState, train_loader, valid_loader,
             epochs: Optional[int] = None, test_loader=None, tokenizer=None,
@@ -104,7 +139,8 @@ class Trainer:
         for epoch in range(epochs):
             train_metrics = self.train_epoch(state, train_loader)
             state = self.state
-            valid_metrics = self.valid_epoch(state, valid_loader)
+            valid_metrics = self.valid_epoch(state, valid_loader,
+                                             tokenizer=tokenizer)
             if test_loader is not None and tokenizer is not None:
                 from mdcnet_tpu.train.test_epoch import test_epoch
                 test_epoch(self.model, state.params, test_loader, tokenizer,
@@ -118,8 +154,12 @@ class Trainer:
                                  for k, v in valid_metrics.items()},
                                 step=int(state.step))
 
-            # improvement = lower validation avg GIoU loss (trail_01.py:193)
-            metric = valid_metrics.get("giou_loss", float("inf"))
+            # improvement = lower validation avg GIoU loss (trail_01.py:193);
+            # when the valid split is smaller than one batch (loader drops
+            # partial batches for static shapes) fall back to the train GIoU
+            # so checkpointing still happens
+            metric = valid_metrics.get(
+                "giou_loss", train_metrics.get("giou_loss", float("inf")))
             if metric < self.best_metric:
                 self.best_metric = metric
                 self.epochs_since_improvement = 0
@@ -134,9 +174,13 @@ class Trainer:
 
 def train_from_config(cfg, records, tokenizer, logger=None,
                       synthetic_images: bool = False,
-                      epochs: Optional[int] = None, mesh=None) -> TrainState:
+                      epochs: Optional[int] = None, mesh=None,
+                      resume: bool = True) -> TrainState:
     """Full training entry: build loaders, model, state; run fit().
-    Pass ``mesh`` for sharded (dp/tp) training."""
+    Pass ``mesh`` for sharded (dp/tp) training.  With ``resume`` (default),
+    the latest checkpoint in ``cfg.train.checkpoint_dir`` — params, optimizer
+    moments and step counter — is restored before training, so a killed run
+    continues where it left off (the reference never resumes, SURVEY §5.4)."""
     from mdcnet_tpu.data.pipeline import make_loaders
     from mdcnet_tpu.models import build_model
 
@@ -151,6 +195,8 @@ def train_from_config(cfg, records, tokenizer, logger=None,
     state = create_train_state(model, cfg, rng, sample_images, sample_tgt)
     ckpt = CheckpointManager(cfg.train.checkpoint_dir,
                              cfg.train.keep_checkpoints)
+    if resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
     trainer = Trainer(model, cfg, logger=logger, checkpoints=ckpt, mesh=mesh)
     state = trainer.shard_state(state)
     return trainer.fit(state, train_loader, valid_loader, epochs=epochs,

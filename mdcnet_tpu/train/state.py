@@ -37,6 +37,11 @@ def make_optimizer(train_cfg) -> optax.GradientTransformation:
 def create_train_state(model, cfg, rng: jax.Array,
                        sample_images, sample_tgt) -> TrainState:
     params = model.init({"params": rng}, sample_images, sample_tgt)
+    if getattr(cfg.model, "pretrained_path", ""):
+        # start the encoder from converted ImageNet weights (the reference
+        # trains from timm pretrained=True, model.py:15-17)
+        from mdcnet_tpu.models.pretrained import graft_pretrained_encoder
+        params = graft_pretrained_encoder(params, cfg.model.pretrained_path)
     tx = make_optimizer(cfg.train)
     return TrainState(params=params, opt_state=tx.init(params["params"]),
                       step=jnp.zeros((), jnp.int32),

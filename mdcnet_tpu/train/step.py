@@ -51,8 +51,12 @@ def _box_metrics(sampled: jnp.ndarray, sampled_scores: jnp.ndarray,
         pred_boxes, pred_mask, gt_boxes, gt_mask)
     mean_iou = box_ops.mean_max_iou(pred_boxes, pred_mask, gt_boxes, gt_mask)
     n_pred = jnp.sum(pred_mask)
+    decoded = {"pred_boxes": pred_boxes, "pred_labels": pred.labels,
+               "pred_scores": pred.scores, "pred_count": pred.count,
+               "gt_boxes": gt_boxes, "gt_labels": gt.labels,
+               "gt_count": gt.count}
     return giou_loss, {"mean_max_iou": mean_iou,
-                       "num_pred_boxes": n_pred.astype(jnp.float32)}
+                       "num_pred_boxes": n_pred.astype(jnp.float32)}, decoded
 
 
 def make_train_step(model, cfg):
@@ -75,7 +79,7 @@ def make_train_step(model, cfg):
         # (train_val_epoch.py:172-179 uses k=10 with scores)
         sampled, scores = top_k_sampling_with_scores(
             rngs["sampling"], logits, k=10)
-        giou_loss, box_metrics = _box_metrics(
+        giou_loss, box_metrics, _ = _box_metrics(
             sampled, scores, y_expected, num_bins, width, height)
 
         if not replicate:
@@ -105,9 +109,15 @@ def make_train_step(model, cfg):
 
     @jax.jit
     def eval_step(state: TrainState, images: jnp.ndarray, y: jnp.ndarray
-                  ) -> Dict[str, jnp.ndarray]:
+                  ) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
         """Validation step (valid_epoch_bbox, train_val_epoch.py:436-723):
-        same metric battery, deterministic forward, argmax sampling."""
+        same metric battery, deterministic forward, argmax sampling.
+
+        Returns (metrics, aux): scalar metrics plus the device-side decode
+        products (sampled tokens, pred/gt boxes+labels+counts) the epoch
+        driver needs for the reference's validation BLEU and per-epoch /
+        per-class mAP (train_val_epoch.py:477-518,630-665).
+        """
         y_input = y[:, :-1]
         y_expected = y[:, 1:]
         logits = model.apply(state.params, images, y_input,
@@ -116,13 +126,14 @@ def make_train_step(model, cfg):
         sampled = jnp.argmax(logits, axis=-1)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         scores = jnp.take_along_axis(probs, sampled[..., None], axis=-1)[..., 0]
-        giou_loss, box_metrics = _box_metrics(
+        giou_loss, box_metrics, decoded = _box_metrics(
             sampled, scores, y_expected, num_bins, width, height)
         total, metrics = losses.composite_loss(
             logits, y_expected, state.params["params"], giou_loss,
             iou_loss_weight=iou_w, l1_lambda=l1_lambda,
             replicate_nondiff_giou=True)
         metrics.update(box_metrics)
-        return metrics
+        aux = dict(decoded, sampled=sampled, gt_tokens=y_expected)
+        return metrics, aux
 
     return train_step, eval_step

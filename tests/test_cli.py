@@ -49,6 +49,17 @@ class TestCli:
                 if l.startswith("{")]
         assert rows and all("caption" in row for row in rows)
 
+    def test_infer_full_split_with_overlay_flags(self, ann_file, tmp_path):
+        overlay_dir = str(tmp_path / "ov")
+        r = run_cli("infer", "--annotations", ann_file, "--preset", "test",
+                    "--synthetic-images", "--limit-batches", "2",
+                    "--save-overlays", overlay_dir)
+        assert r.returncode == 0, r.stderr[-2000:]
+        rows = [json.loads(l) for l in r.stdout.splitlines()
+                if l.startswith("{")]
+        assert rows
+        assert os.path.isdir(overlay_dir)
+
     def test_eval_smoke(self, ann_file):
         r = run_cli("eval", "--annotations", ann_file, "--preset", "test",
                     "--synthetic-images", "--batch-size", "8")

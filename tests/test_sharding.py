@@ -75,6 +75,47 @@ class TestShardedForward:
         assert sharded_count >= 10  # qkv/out/ffn kernels across layers
 
 
+class TestShardState:
+    def test_moments_sharded_like_params_with_values_preserved(self, setup):
+        cfg, model, state, images, y = setup
+        # give the moments non-trivial values first (as after a resume)
+        train_step, _ = make_train_step(model, cfg)
+        state, _ = train_step(state, images, y)
+
+        mesh = sh.make_mesh(data=4, model=2)
+        sstate = sh.shard_state(state, mesh, make_optimizer(cfg.train))
+
+        # values preserved bit-exactly
+        for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                        jax.tree_util.tree_leaves(sstate.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # every model-sharded param has its adam mu/nu sharded the same way
+        p_flat = jax.tree_util.tree_flatten_with_path(
+            sstate.params["params"])[0]
+        mu = sstate.opt_state[0].mu
+        mu_flat = {sh._path_str(p): leaf for p, leaf
+                   in jax.tree_util.tree_flatten_with_path(mu)[0]}
+        n_sharded = 0
+        for path, leaf in p_flat:
+            key = sh._path_str(path)
+            if any(ax is not None for ax in leaf.sharding.spec):
+                n_sharded += 1
+                assert mu_flat[key].sharding.spec == leaf.sharding.spec, key
+        assert n_sharded >= 10
+
+    def test_step_runs_from_blessed_state(self, setup):
+        cfg, model, state, images, y = setup
+        mesh = sh.make_mesh(data=2, model=2)
+        train_step, _ = make_train_step(model, cfg)
+        sstate = sh.shard_state(state, mesh, make_optimizer(cfg.train))
+        with mesh:
+            im_s, y_s = sh.data_parallel_batch(mesh, images, y)
+            sstate, metrics = train_step(sstate, im_s, y_s)
+            jax.block_until_ready(metrics)
+        assert np.isfinite(float(metrics["total_loss"]))
+
+
 class TestShardedTrainStep:
     def test_step_matches_single_device(self, setup):
         cfg, model, state, images, y = setup
@@ -82,11 +123,8 @@ class TestShardedTrainStep:
         _, metrics_single = train_step(state, images, y)
 
         mesh = sh.make_mesh(data=2, model=2)
+        sstate = sh.shard_state(state, mesh, make_optimizer(cfg.train))
         with mesh:
-            params = sh.shard_params(state.params, mesh)
-            tx = make_optimizer(cfg.train)
-            opt_state = jax.jit(tx.init)(params["params"])
-            sstate = state.replace(params=params, opt_state=opt_state)
             im_s, y_s = sh.data_parallel_batch(mesh, images, y)
             new_state, metrics = train_step(sstate, im_s, y_s)
             jax.block_until_ready(metrics)
@@ -103,14 +141,11 @@ class TestShardedTrainStep:
         cfg, model, state, images, y = setup
         mesh = sh.make_mesh(data=8, model=1)
         train_step, eval_step = make_train_step(model, cfg)
+        sstate = sh.shard_state(state, mesh, make_optimizer(cfg.train))
         with mesh:
-            params = sh.shard_params(state.params, mesh)
-            tx = make_optimizer(cfg.train)
-            opt_state = jax.jit(tx.init)(params["params"])
-            sstate = state.replace(params=params, opt_state=opt_state)
             im_s, y_s = sh.data_parallel_batch(mesh, images, y)
-            m0 = eval_step(sstate, im_s, y_s)
+            m0, _ = eval_step(sstate, im_s, y_s)
             for _ in range(3):
                 sstate, _ = train_step(sstate, im_s, y_s)
-            m1 = eval_step(sstate, im_s, y_s)
+            m1, _ = eval_step(sstate, im_s, y_s)
         assert float(m1["ce_loss"]) < float(m0["ce_loss"])

@@ -90,10 +90,10 @@ class TestTrainStep:
     def test_step_decreases_ce(self, setup):
         cfg, model, state, images, y = setup
         train_step, eval_step = make_train_step(model, cfg)
-        m0 = eval_step(state, images, y)
+        m0, _ = eval_step(state, images, y)
         for _ in range(4):
             state, metrics = train_step(state, images, y)
-        m1 = eval_step(state, images, y)
+        m1, _ = eval_step(state, images, y)
         assert float(m1["ce_loss"]) < float(m0["ce_loss"])
         assert int(state.step) == 4
         for key in ("ce_loss", "giou_loss", "total_loss", "l1_norm",
@@ -108,6 +108,37 @@ class TestTrainStep:
             if k == "mean_max_iou":
                 continue  # may be nan when nothing decodes early in training
             assert np.isfinite(float(v)), k
+
+
+class TestValidEpochBattery:
+    def test_valid_epoch_reports_bleu_and_map(self):
+        """valid_epoch with a tokenizer reports the reference's validation
+        metric battery: BLEU + per-epoch mAP@0.3 + per-class AP
+        (train_val_epoch.py:477-518,630-665)."""
+        import dataclasses
+        from mdcnet_tpu.data.pipeline import make_loaders
+        from mdcnet_tpu.train.loop import Trainer
+        from tests.test_pipeline import synthetic_records
+        from tests.test_text import make_tokenizer
+
+        cfg = test_preset()
+        cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=4))
+        rec = synthetic_records(48)
+        tok = make_tokenizer(max_len=cfg.data.max_len)
+        _, valid_loader, _ = make_loaders(rec, tok, cfg.data,
+                                          synthetic_images=True)
+        model = build_model(cfg.model)
+        rng = jax.random.PRNGKey(0)
+        state = create_train_state(
+            model, cfg, rng,
+            jnp.zeros((4, cfg.data.img_size, cfg.data.img_size, 3)),
+            jnp.zeros((4, cfg.data.max_len - 1), jnp.int32))
+        trainer = Trainer(model, cfg)
+        out = trainer.valid_epoch(state, valid_loader, tokenizer=tok)
+        for key in ("ce_loss", "giou_loss", "bleu", "map@0.3"):
+            assert key in out, key
+        assert 0.0 <= out["bleu"] <= 1.0
+        assert any(k.startswith("map@0.3/class_") for k in out)
 
 
 class TestDifferentiableGiou:
