@@ -105,6 +105,7 @@ class ModelConfig:
     dec_layers: int = 8
     dec_ffn_dim: int = 2048        # torch TransformerDecoderLayer default
     dec_pos_dropout: float = 0.4   # model.py:33 (axial variant uses 0.05)
+    dec_layer_dropout: float = 0.1  # torch TransformerDecoderLayer default
     max_len: int = 100
     num_patches: int = 196
     patch_dropout_rate: float = 0.02  # model.py:148

@@ -54,10 +54,16 @@ class Batch:
 
 
 class SteelDefectDataset:
-    """Flattened (image, bbox, caption, label) rows -> tokenized examples."""
+    """Flattened (image, bbox, caption, label) rows -> tokenized examples.
+
+    ``synthetic_images``: False reads real files; True feeds uniform noise
+    (shape-only testing); "learnable" renders class+box-conditioned defect
+    images (data/synthetic.py) so quality metrics are trainable without the
+    real GC10 pixels.
+    """
 
     def __init__(self, records, tokenizer: SeqTokenizer, cfg: DataConfig,
-                 synthetic_images: bool = False, native_size: int = 256):
+                 synthetic_images=False, native_size: int = 256):
         self.records = records
         self.tokenizer = tokenizer
         self.cfg = cfg
@@ -71,20 +77,32 @@ class SteelDefectDataset:
     def example(self, i: int) -> Optional[Tuple[np.ndarray, List[int],
                                                 np.ndarray, int]]:
         path = self.records["img_path"][i]
-        if self.synthetic:
+        if self.synthetic == "learnable":
+            from mdcnet_tpu.data import synthetic as syn
+            rng = np.random.default_rng(i)
+            label = int(self.records["label"][i])
+            box_img = syn.scale_box_to_image(self._boxes[i], self.native_size)
+            img = syn.render_defect_image(label, box_img, self.native_size,
+                                          rng)
+            # geometry source is the rendered box (canvas-scaled), so pixels
+            # and tokens agree exactly
+            src_box = box_img
+        elif self.synthetic:
             rng = np.random.default_rng(i)
             img = rng.integers(0, 255, (self.native_size, self.native_size, 3),
                                dtype=np.uint8)
+            src_box = self._boxes[i]
         else:
             img = load_image(path)
             if img is None:
                 return None
+            src_box = self._boxes[i]
         h, w = img.shape[:2]
         size = self.cfg.img_size
         # bbox in resized-image space before tokenization
         # (albumentations Resize with pascal_voc bbox_params, dataset.py:102-104)
-        box = self._boxes[i] * np.array([size / w, size / h,
-                                         size / w, size / h])
+        box = src_box * np.array([size / w, size / h,
+                                  size / w, size / h])
         # guard out-of-bounds boxes (real images keep boxes in-bounds by
         # construction; the synthetic path and malformed annotations don't)
         box = np.clip(box, 0.0, size)
@@ -212,7 +230,7 @@ class ImageOnlyDataset:
 
 
 def make_loaders(records, tokenizer: SeqTokenizer, cfg: DataConfig,
-                 synthetic_images: bool = False
+                 synthetic_images=False
                  ) -> Tuple[DataLoader, DataLoader, DataLoader]:
     """Three-way split + loaders matching get_loaders
     (data_processing.py:165-219): train shuffled at cfg.batch_size; valid

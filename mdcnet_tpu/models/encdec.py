@@ -84,6 +84,7 @@ def build_model(cfg) -> EncoderDecoder:
             dim=cfg.dec_dim, num_heads=cfg.dec_heads,
             num_layers=cfg.dec_layers, ffn_dim=cfg.dec_ffn_dim,
             max_len=cfg.max_len, pos_dropout=cfg.dec_pos_dropout,
+            layer_dropout=cfg.dec_layer_dropout,
             kv_quant=cfg.kv_quant, dtype=dtype, param_dtype=param_dtype)
         patch_rate = cfg.patch_dropout_rate
     return EncoderDecoder(encoder=encoder, decoder=decoder,

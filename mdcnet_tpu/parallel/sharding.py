@@ -117,22 +117,28 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map_with_path(place, params)
 
 
-def shard_state(state, mesh: Mesh, tx):
+def shard_state(state, mesh: Mesh, tx=None):
     """Lay a full TrainState out on the mesh — the single blessed path.
 
     Params are placed by PARAM_RULES; optimizer moments are sharded exactly
-    like their params (GSPMD propagates the input shardings through a jitted
-    ``tx.init``, whose output layout we then apply to the *existing* moment
-    values, so resumed states keep their Adam statistics); step/rng are
-    replicated.
+    like their params: opt-state leaf paths embed the param path
+    (``0/mu/decoder/.../kernel``), so the same ``.*``-prefixed PARAM_RULES
+    match them directly, with divisibility re-validated per leaf.  Scalars
+    (Adam ``count``, step, rng) are replicated.  Values are preserved, so
+    resumed states keep their Adam statistics.  Multi-host safe: every leaf
+    gets an explicit NamedSharding over the global mesh (the jit-layout trick
+    this replaces left scalars on a single device under multi-process).
+
+    ``tx`` is accepted for backward compatibility and unused.
     """
-    params = shard_params(state.params, mesh)
-    inner = params["params"] if (isinstance(params, dict)
-                                 and "params" in params) else params
-    with mesh:
-        layout = jax.jit(tx.init)(inner)
-    opt_shardings = jax.tree_util.tree_map(lambda x: x.sharding, layout)
-    opt_state = jax.device_put(state.opt_state, opt_shardings)
+    del tx
+
+    def place(path, v):
+        spec = _validated(spec_for(_path_str(path), v), np.shape(v), mesh)
+        return jax.device_put(v, NamedSharding(mesh, spec))
+
+    params = jax.tree_util.tree_map_with_path(place, state.params)
+    opt_state = jax.tree_util.tree_map_with_path(place, state.opt_state)
     replicated = NamedSharding(mesh, P())
     return state.replace(params=params, opt_state=opt_state,
                          step=jax.device_put(state.step, replicated),

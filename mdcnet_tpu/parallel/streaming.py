@@ -86,6 +86,58 @@ def encode_context_parallel(encoder: ViTEncoder, params, images: jnp.ndarray,
         return _encode_fn(encoder, mesh)(params, images)
 
 
+def make_context_parallel_apply(model, mesh: Mesh, remat: bool = True):
+    """A drop-in replacement for ``model.apply`` whose encoder block stack
+    runs ring attention with the token sequence sharded over the mesh
+    ``context`` axis — fully differentiable, so the 512² config can TRAIN
+    context-parallel (ppermute transposes to the reverse ring under autodiff;
+    gradients equal the single-device step, tests/test_context_parallel.py).
+
+    ``remat``: rematerialize the block stack on backward (the 12-block
+    1024-token stack's activations otherwise dominate HBM at 512²).
+
+    Signature: apply_fn(variables, images, tgt, deterministic=..., rngs=...)
+    -> logits, matching the EncoderDecoder.__call__ surface used by
+    make_train_step.
+    """
+    from mdcnet_tpu.models.encdec import patch_dropout_mask
+
+    encoder = model.encoder
+    ring_enc = context_parallel_encoder(encoder, mesh)
+    spec = P("data", "context", None)
+
+    def blocks_local(p, tokens):
+        return ring_enc.apply(p, tokens, method="run_blocks")
+
+    if remat:
+        blocks_local = jax.checkpoint(blocks_local)
+    sharded_blocks = shard_map(blocks_local, mesh=mesh,
+                               in_specs=(P(), spec), out_specs=spec,
+                               check_rep=False)
+
+    def apply_fn(variables, images, tgt, deterministic: bool = True,
+                 rngs=None):
+        enc_p = {"params": variables["params"]["encoder"]}
+        dec_p = {"params": variables["params"]["decoder"]}
+        tokens = encoder.apply(enc_p, images, method="embed")
+        tokens = jax.lax.with_sharding_constraint(
+            tokens, NamedSharding(mesh, spec))
+        tokens = sharded_blocks(enc_p, tokens)
+        enc_out = encoder.apply(enc_p, tokens, method="finish")
+        if not deterministic and model.patch_dropout_rate > 0:
+            mask = patch_dropout_mask(rngs["patch_dropout"],
+                                      enc_out.shape[0], enc_out.shape[1],
+                                      model.patch_dropout_rate)
+            enc_out = enc_out * mask.astype(enc_out.dtype)
+        dec_rngs = ({"dropout": rngs["dropout"]}
+                    if (rngs and "dropout" in rngs) else None)
+        return model.decoder.apply(dec_p, enc_out, tgt,
+                                   deterministic=deterministic,
+                                   rngs=dec_rngs)
+
+    return apply_fn
+
+
 def streaming_eval_step(model, params, images: jnp.ndarray, mesh: Mesh,
                         rng: jax.Array, steps: int = 101, **gen_kw):
     """One streaming-eval step: context-parallel encode (e.g. 512² -> 1024

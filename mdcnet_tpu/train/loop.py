@@ -58,8 +58,15 @@ class Trainer:
         images = jnp.asarray(batch.images)
         tokens = jnp.asarray(batch.tokens)
         if self.mesh is not None:
-            from mdcnet_tpu.parallel import sharding as sh
-            images, tokens = sh.data_parallel_batch(self.mesh, images, tokens)
+            if jax.process_count() > 1:
+                # each host contributes its local batch shard (pod slices)
+                from mdcnet_tpu.core.distributed import multihost_batch
+                images, tokens = multihost_batch(self.mesh, batch.images,
+                                                 batch.tokens)
+            else:
+                from mdcnet_tpu.parallel import sharding as sh
+                images, tokens = sh.data_parallel_batch(self.mesh, images,
+                                                        tokens)
         images = preprocess(images, key,
                             self.cfg.data.img_size, train=train,
                             bc_p=self.cfg.data.brightness_contrast_p,

@@ -59,8 +59,15 @@ def _box_metrics(sampled: jnp.ndarray, sampled_scores: jnp.ndarray,
                        "num_pred_boxes": n_pred.astype(jnp.float32)}, decoded
 
 
-def make_train_step(model, cfg):
-    """Build the jitted train step for a model + config."""
+def make_train_step(model, cfg, apply_fn=None):
+    """Build the jitted train step for a model + config.
+
+    ``apply_fn`` overrides ``model.apply`` for the forward — e.g. the
+    context-parallel apply (parallel/streaming.make_context_parallel_apply)
+    that shards the encoder sequence over the mesh ``context`` axis for 512²
+    training.  Same signature as model.apply.
+    """
+    model_apply = apply_fn if apply_fn is not None else model.apply
     tx = make_optimizer(cfg.train)
     num_bins = cfg.data.num_bins
     width = height = cfg.data.img_size
@@ -71,7 +78,7 @@ def make_train_step(model, cfg):
     def loss_fn(params, images, y, rngs):
         y_input = y[:, :-1]
         y_expected = y[:, 1:]
-        logits = model.apply({"params": params}, images, y_input,
+        logits = model_apply({"params": params}, images, y_input,
                              deterministic=False, rngs=rngs)
         logits = logits[:, :-1]  # drop final step (train_val_epoch.py:59)
 
@@ -120,7 +127,7 @@ def make_train_step(model, cfg):
         """
         y_input = y[:, :-1]
         y_expected = y[:, 1:]
-        logits = model.apply(state.params, images, y_input,
+        logits = model_apply(state.params, images, y_input,
                              deterministic=True)
         logits = logits[:, :-1]
         sampled = jnp.argmax(logits, axis=-1)

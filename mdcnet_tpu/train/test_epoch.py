@@ -36,6 +36,7 @@ def test_epoch(model, params, loader, tokenizer, cfg,
     bleu_meter = AvgMeter("bleu")
     iou_meter = AvgMeter("iou")
     giou_meter = AvgMeter("giou_loss")
+    exact_meter = AvgMeter("caption_exact_match")
     map_metric = MeanAveragePrecision(iou_threshold=0.3,
                                       class_metrics=class_metrics)
 
@@ -81,12 +82,18 @@ def test_epoch(model, params, loader, tokenizer, cfg,
                 [{"boxes": np.asarray(gb[i][:n_g]),
                   "labels": np.asarray(gt.labels[i][:n_g])}])
 
+        # caption exact-match (the BASELINE quality gate: generated caption
+        # string equals the GT caption under the reference decode rules)
+        bboxes, labels, captions, cfs = postprocess(tokens, confs, tokenizer)
+        gt_decoded = [tokenizer.decode(batch.tokens[i]) for i in range(n)]
+        for i in range(n):
+            gt_caption = gt_decoded[i][2]
+            exact_meter.update(float(captions[i] == gt_caption))
+
         # prediction log rows (train_val_epoch.py:836-854)
         if sink is not None:
-            bboxes, labels, captions, cfs = postprocess(tokens, confs,
-                                                        tokenizer)
             for i in range(n):
-                _, gt_boxes_i, gt_caption = tokenizer.decode(batch.tokens[i])
+                _, gt_boxes_i, gt_caption = gt_decoded[i]
                 sink.log({
                     "epoch": epoch_num,
                     "pred_caption": captions[i],
@@ -100,6 +107,7 @@ def test_epoch(model, params, loader, tokenizer, cfg,
     scores = map_metric.compute()
     out = {"test/bleu": bleu_meter.avg, "test/mean_max_iou": iou_meter.avg,
            "test/giou_loss": giou_meter.avg,
+           "test/caption_exact_match": exact_meter.avg,
            "test/map@0.3": scores["map"]}
     if class_metrics:
         for cls, ap in scores.get("map_per_class", {}).items():

@@ -1,14 +1,19 @@
-"""Train the flagship model on the GC10 annotations (synthetic pixels).
+"""Train the flagship model on the GC10 annotations.
 
-Purpose: produce a checkpoint whose decoder has learned the caption/sequence
-structure (template words, CAP_END, label window, EOS at the right offset) so
-generation-time EOS early-exit reflects the real serving workload.  Box
-regression cannot be learned from synthetic pixels — caption structure and
-sequence lengths can (they are what gate generation length).
+Pixels: ``--pixels learnable`` (default) renders class+box-conditioned
+defect images (data/synthetic.py) so captions, labels AND boxes are genuinely
+learnable from pixels and the BASELINE quality gates (caption exact-match,
+mAP@0.3, BLEU) can be measured end to end; ``--pixels noise`` reproduces the
+round-1 structure-only workload; with ``--images DIR`` pointing at the real
+GC10 folder the same script trains on real pixels.
+
+Produces a checkpoint under --out (bench.py picks up checkpoints_flagship/
+for the trained-workload headline) and prints the quality gates measured on
+the validation split via the full generation path.
 
 Usage:
   python scripts/train_flagship.py --epochs 3 --batch 64 \
-      --out checkpoints_flagship [--preset large]
+      --out checkpoints_flagship [--preset large] [--pixels learnable]
 """
 from __future__ import annotations
 
@@ -29,10 +34,21 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--annotations",
                     default="/root/reference/annotations_summary.txt")
+    ap.add_argument("--images", default="",
+                    help="real image folder (turns synthetic pixels off)")
+    ap.add_argument("--pixels", default="learnable",
+                    choices=["learnable", "noise"],
+                    help="synthetic pixel mode when no --images")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--out", default="checkpoints_flagship")
     ap.add_argument("--preset", default="large")
+    ap.add_argument("--pretrained", default="",
+                    help="converted ImageNet encoder .npz")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the latest checkpoint in --out")
+    ap.add_argument("--skip-quality", action="store_true",
+                    help="skip the post-training quality measurement")
     args = ap.parse_args()
 
     from mdcnet_tpu import config as C
@@ -49,8 +65,15 @@ def main():
            "test": C.test_preset}[args.preset]()
     cfg = cfg.replace(data=dataclasses.replace(cfg.data,
                                                batch_size=args.batch))
+    if args.pretrained:
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, pretrained_path=args.pretrained))
 
-    records = ann.txt_file_to_records(args.annotations, "/img")
+    records = ann.txt_file_to_records(args.annotations, args.images or "/img")
+    synthetic = False if args.images else (
+        "learnable" if args.pixels == "learnable" else True)
+    if args.images:
+        records = ann.filter_existing_images(records)
     vocab = gc10_vocabulary(records["caption"].tolist())
     tok = SeqTokenizer(vocab, 10, cfg.data.num_bins, cfg.data.img_size,
                        cfg.data.img_size, max_len=cfg.data.max_len)
@@ -58,7 +81,7 @@ def main():
         cfg.model, vocab_size=tok.total_vocab_size))
 
     train_loader, valid_loader, _ = make_loaders(records, tok, cfg.data,
-                                                 synthetic_images=True)
+                                                 synthetic_images=synthetic)
     model = build_model(cfg.model)
     rng = jax.random.PRNGKey(cfg.train.seed)
     state = create_train_state(
@@ -68,6 +91,9 @@ def main():
 
     logger = MetricLogger()
     ckpt = CheckpointManager(args.out, max_to_keep=1)
+    if args.resume and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        print(f"resumed from step {int(state.step)}", flush=True)
     trainer = Trainer(model, cfg, logger=logger, checkpoints=None)
 
     for epoch in range(args.epochs):
@@ -77,7 +103,7 @@ def main():
         print(f"epoch {epoch}: ce={metrics['ce_loss']:.4f} "
               f"giou={metrics['giou_loss']:.4f} "
               f"({time.time() - t0:.0f}s)", flush=True)
-    ckpt.save(state)
+        ckpt.save(state)
     print(f"saved step={int(state.step)} -> {args.out}", flush=True)
 
     # quick workload probe: generation length with early exit
@@ -92,8 +118,14 @@ def main():
     print("generated length stats:", {"mean": float(np.mean(lengths)),
                                       "min": min(lengths),
                                       "max": max(lengths)}, flush=True)
-    sample = tokens[0]
-    print("sample row:", sample[:30].tolist(), flush=True)
+
+    if not args.skip_quality:
+        # BASELINE quality gates on the validation split via full generation
+        from mdcnet_tpu.train.test_epoch import test_epoch
+        quality = test_epoch(model, state.params, valid_loader, tok, cfg)
+        import json
+        print("QUALITY " + json.dumps(
+            {k: round(float(v), 4) for k, v in quality.items()}), flush=True)
 
 
 if __name__ == "__main__":
