@@ -41,21 +41,29 @@ CHECKPOINT_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def load_params(model, cfg):
-    """Trained checkpoint when available, fresh init otherwise."""
-    from mdcnet_tpu.train.checkpoint import CheckpointManager
-    from mdcnet_tpu.train.state import create_train_state
+    """Trained checkpoint when available, fresh init otherwise.
 
+    The checkpoint path restores host-side (no device round-trips — a full
+    TrainState restore through the tunnel takes minutes) and uploads the
+    params once.
+    """
+    from mdcnet_tpu.train.checkpoint import CheckpointManager
+
+    try:
+        mgr = CheckpointManager(CHECKPOINT_DIR, 1)
+        if mgr.latest_step() is not None:
+            params = mgr.restore_params(model, cfg)
+            return jax.device_put(params), "trained_gc10_early_exit"
+    except Exception as e:
+        import sys
+        print(f"checkpoint restore failed ({e!r}); untrained fallback",
+              file=sys.stderr)
+    from mdcnet_tpu.train.state import create_train_state
     rng = jax.random.PRNGKey(1)
     state = create_train_state(
         model, cfg, rng, jnp.zeros((1, cfg.data.img_size,
                                     cfg.data.img_size, 3)),
         jnp.zeros((1, cfg.data.max_len - 1), jnp.int32))
-    try:
-        mgr = CheckpointManager(CHECKPOINT_DIR, 1)
-        if mgr.latest_step() is not None:
-            return mgr.restore(state).params, "trained_gc10_early_exit"
-    except Exception:
-        pass
     return state.params, "untrained_full_budget"
 
 
