@@ -34,13 +34,13 @@ def probe_vmem():
         n = mb * 1024 * 1024 // 4
 
         def kern(o_ref, scratch):
-            scratch[0, :] = jnp.ones((128,), jnp.float32)
-            o_ref[0] = scratch[0, 0]
+            scratch[0:8, :] = jnp.ones((8, 128), jnp.float32)
+            o_ref[:] = scratch[0:8, :]
 
         try:
             out = pl.pallas_call(
                 kern,
-                out_shape=jax.ShapeDtypeStruct((1,), jnp.float32),
+                out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 scratch_shapes=[pltpu.VMEM((n // 128, 128), jnp.float32)],
                 compiler_params=pltpu.CompilerParams(
@@ -53,8 +53,11 @@ def probe_vmem():
             break
 
 
-def probe_stream_bw(total_mb: int = 1024, block_rows: int = 512):
-    """Grid-pipelined int8 read reduction: rows x 1024 int8, block over rows."""
+def probe_stream_bw(total_mb: int = 1024):
+    """Grid-pipelined int8 read: rows x 1024 int8, block over rows.
+
+    Touches only 8 rows per block on the VPU so the measurement is pure DMA
+    (the full block is still fetched by the pipeline)."""
     print("== int8 streaming read bandwidth ==", flush=True)
     rows = total_mb * 1024
     x = jnp.ones((rows, 1024), jnp.int8)
@@ -64,30 +67,40 @@ def probe_stream_bw(total_mb: int = 1024, block_rows: int = 512):
 
         @pl.when(i == 0)
         def _():
-            o_ref[:] = jnp.zeros_like(o_ref)
-        o_ref[:] += jnp.sum(x_ref[:].astype(jnp.int32), axis=0,
-                            keepdims=True).astype(jnp.float32)
+            o_ref[:] = jnp.zeros((8, 1024), jnp.float32)
+        o_ref[:] += x_ref[0:8, :].astype(jnp.float32)
 
-    f = pl.pallas_call(
-        kern,
-        grid=(rows // block_rows,),
-        in_specs=[pl.BlockSpec((block_rows, 1024), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1024), lambda i: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1024), jnp.float32),
-    )
-    f = jax.jit(f)
-    fence(f(x))
-    iters = 10
-    t0 = time.perf_counter()
-    for _ in range(iters - 1):
-        f(x)
-    fence(f(x))
-    dt = (time.perf_counter() - t0) / iters
-    gbps = total_mb / 1024 / dt
-    print(f"  {total_mb} MiB in {dt*1e3:.2f} ms -> {gbps:.0f} GB/s "
-          f"(block_rows={block_rows})", flush=True)
+    reps = 16  # inside one jit: dispatch over the tunnel is ~3 ms and would
+    # otherwise dominate a ~1.3 ms full-bandwidth sweep
+    for block_rows in (512, 2048):
+        pc = pl.pallas_call(
+            kern,
+            grid=(rows // block_rows,),
+            in_specs=[pl.BlockSpec((block_rows, 1024), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((8, 1024), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 1024), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )
+
+        @jax.jit
+        def f(x):
+            def body(c, _):
+                return c + pc(x)[0, 0], None
+            return jax.lax.scan(body, jnp.float32(0), None, length=reps)[0]
+
+        fence(f(x))
+        iters = 4
+        t0 = time.perf_counter()
+        for _ in range(iters - 1):
+            f(x)
+        fence(f(x))
+        dt = (time.perf_counter() - t0) / iters / reps
+        gbps = total_mb / 1024 / dt
+        print(f"  {total_mb} MiB in {dt*1e3:.2f} ms -> {gbps:.0f} GB/s "
+              f"(block_rows={block_rows})", flush=True)
 
 
 def probe_call_overhead(n_calls: int = 98):
@@ -129,7 +142,7 @@ def probe_call_overhead(n_calls: int = 98):
 
 
 def probe_batched_matvec(n: int = 512, length: int = 200, d: int = 128,
-                         reps: int = 64):
+                         reps: int = 512):
     """Decode attention's inner shape: N batched (1,d)x(d,L) matvecs.
 
     Which unit can sustain it?  Reps loop inside the kernel over the same
@@ -152,17 +165,23 @@ def probe_batched_matvec(n: int = 512, length: int = 200, d: int = 128,
             out_ref = refs[-1]
             ins = [r[:] for r in refs[:-1]]
 
-            def body(_, acc):
-                return acc + fn(*ins)
-            out_ref[:] = jax.lax.fori_loop(
-                0, reps, body, jnp.zeros_like(out_ref)).astype(out_ref.dtype)
+            # loop-carried lhs so the compiler cannot hoist the dot out
+            def body(_, carry):
+                acc, a = carry
+                a = a + jnp.ones((), a.dtype)
+                return acc + fn(a, *ins[1:]), a
+            acc0 = jnp.zeros(out_ref.shape, out_ref.dtype)
+            out, _ = jax.lax.fori_loop(0, reps, body, (acc0, ins[0]))
+            out_ref[:] = out.astype(out_ref.dtype)
 
         probe_dtype = fn(*args).dtype
         f = jax.jit(pl.pallas_call(
             kern,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(args),
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct(fn(*args).shape, probe_dtype)))
+            out_shape=jax.ShapeDtypeStruct(fn(*args).shape, probe_dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024)))
         return f, args
 
     cases = {
@@ -184,7 +203,7 @@ def probe_batched_matvec(n: int = 512, length: int = 200, d: int = 128,
         try:
             f, a = make(fn, *args)
             fence(f(*a))
-            iters = 5
+            iters = 3
             t0 = time.perf_counter()
             for _ in range(iters - 1):
                 f(*a)
