@@ -40,12 +40,13 @@ class GenerateResult(NamedTuple):
 @functools.partial(
     jax.jit,
     static_argnames=("model", "steps", "top_k", "top_p", "greedy",
-                     "conf_every", "temperature", "early_exit"))
+                     "conf_every", "temperature", "early_exit",
+                     "use_megakernel"))
 def generate(model, params, images: jnp.ndarray, rng: jax.Array,
              steps: int = 101, top_k: int = 0, top_p: float = 1.0,
              greedy: bool = True, conf_every: int = 4,
-             temperature: float = 1.0, early_exit: bool = True
-             ) -> GenerateResult:
+             temperature: float = 1.0, early_exit: bool = True,
+             use_megakernel: bool = False) -> GenerateResult:
     """Batch generation. images: (B, H, W, 3). Returns token sequences seeded
     with BOS, matching ``generate`` (inference_p.py:69-90) behavior.
 
@@ -71,7 +72,8 @@ def generate(model, params, images: jnp.ndarray, rng: jax.Array,
                                 top_k=top_k, top_p=top_p, greedy=greedy,
                                 conf_every=conf_every,
                                 temperature=temperature,
-                                early_exit=early_exit)
+                                early_exit=early_exit,
+                                use_megakernel=use_megakernel)
 
 
 def _generate_uncached(model, params, encoder_out, rng, steps, top_k, top_p,
@@ -127,14 +129,26 @@ def _generate_uncached(model, params, encoder_out, rng, steps, top_k, top_p,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "steps", "top_k", "top_p", "greedy",
-                     "conf_every", "temperature", "early_exit"))
+                     "conf_every", "temperature", "early_exit",
+                     "use_megakernel"))
 def generate_from_memory(model, params, encoder_out: jnp.ndarray,
                          rng: jax.Array, steps: int = 101, top_k: int = 0,
                          top_p: float = 1.0, greedy: bool = True,
                          conf_every: int = 4, temperature: float = 1.0,
-                         early_exit: bool = True) -> GenerateResult:
+                         early_exit: bool = True,
+                         use_megakernel: bool = False) -> GenerateResult:
     """Generation from a precomputed encoder output (B, N, D) — used by the
-    context-parallel streaming path where encoding happens under shard_map."""
+    context-parallel streaming path where encoding happens under shard_map.
+
+    ``use_megakernel``: run each decode step as ONE whole-stack pallas_call
+    with int8 K/V (ops/megakernel.py) — the TPU serving fast path.
+    """
+    if use_megakernel:
+        return _generate_megakernel(model, params, encoder_out, rng,
+                                    steps=steps, top_k=top_k, top_p=top_p,
+                                    greedy=greedy, conf_every=conf_every,
+                                    temperature=temperature,
+                                    early_exit=early_exit)
     decoder = model.decoder
     batch = encoder_out.shape[0]
     cache_len = decoder.max_len - 1
@@ -183,6 +197,98 @@ def generate_from_memory(model, params, encoder_out: jnp.ndarray,
     tokens, confs = state[4], state[5]
     confs = confs[:, ::conf_every][:, :n_confs]
     return GenerateResult(tokens=tokens, confs=confs)
+
+
+def _generate_megakernel(model, params, encoder_out, rng, steps, top_k,
+                         top_p, greedy, conf_every, temperature, early_exit,
+                         chunk: int = 32):
+    """KV-cached generation where each decode step is ONE pallas_call over
+    the whole decoder stack with int8 K/V streaming (ops/megakernel.py).
+    Sampling semantics identical to generate_from_memory."""
+    from mdcnet_tpu.ops import megakernel as mk
+
+    decoder = model.decoder
+    assert getattr(decoder, "prepend_bos", True), \
+        "megakernel path requires the standard causal decoder"
+    p = params["params"]["decoder"] if "params" in params else \
+        params["decoder"]
+    batch = encoder_out.shape[0]
+    cache_len = decoder.max_len - 1
+    steps = min(steps, cache_len - 1)
+    heads, dim, nl = decoder.num_heads, decoder.dim, decoder.num_layers
+    mem_len = decoder.encoder_length
+    chunk = min(chunk, batch)
+    while batch % chunk:
+        chunk //= 2
+
+    stack = mk.stack_decoder_weights(p, nl)
+
+    # cross-attention memory K/V, quantized once (memory + its pos embed)
+    memory = encoder_out.astype(jnp.float32) + \
+        jnp.asarray(p["encoder_pos_embed"], jnp.float32)
+    mem_kvs = []
+    for i in range(nl):
+        att = p[f"layer{i}"]["cross_attn"]
+        def proj(name):
+            y = memory @ jnp.asarray(att[name]["kernel"], jnp.float32) + \
+                jnp.asarray(att[name]["bias"], jnp.float32)
+            return y.reshape(batch, mem_len, heads, dim // heads
+                             ).transpose(0, 2, 1, 3)
+        mem_kvs.append((proj("k_proj"), proj("v_proj")))
+    mem_pad = mem_len + (-mem_len) % 8
+    mem_kv = mk.quantize_stacked(mem_kvs, mem_pad)
+
+    cache_pad = cache_len + (-cache_len) % 8
+    self_kv = mk.init_stacked_cache(nl, batch, heads, cache_pad,
+                                    dim // heads)
+
+    emb = jnp.asarray(p["embedding"]["embedding"], jnp.float32)
+    pos_embed = jnp.asarray(p["decoder_pos_embed"], jnp.float32)[0]
+    w_out = jnp.asarray(p["output"]["kernel"], jnp.float32)
+    b_out = jnp.asarray(p["output"]["bias"], jnp.float32)
+
+    bos = jnp.full((batch,), BOS_ID, dtype=jnp.int32)
+    n_confs = (steps + conf_every - 1) // conf_every
+    tokens0 = jnp.full((batch, steps + 1), PAD_ID, jnp.int32
+                       ).at[:, 0].set(bos)
+    confs0 = jnp.zeros((batch, steps), jnp.float32)
+
+    def cond_fn(state):
+        i, _, _, finished, _, _, _ = state
+        not_done = jnp.logical_not(jnp.all(finished)) if early_exit else True
+        return (i < steps) & not_done
+
+    def body_fn(state):
+        i, token, self_kv, finished, tokens, confs, rng = state
+        x = emb[token] + jax.lax.dynamic_slice(pos_embed, (i, 0), (1, dim))
+        x_out, k_new, v_new, k_sc, v_sc = mk.fused_decode_step(
+            stack, x, self_kv, mem_kv, i, num_layers=nl, heads=heads,
+            mem_len=mem_len, chunk=chunk)
+        self_kv = mk.update_stacked_cache(self_kv, k_new, v_new,
+                                          k_sc, v_sc, i)
+        logits = (x_out @ w_out + b_out) / temperature
+        filtered = top_k_top_p_filtering(logits, top_k, top_p)
+        probs = jax.nn.softmax(filtered, axis=-1)
+        conf = jnp.max(probs, axis=-1)
+        if greedy:
+            nxt = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+        else:
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(sub, filtered,
+                                         axis=-1).astype(jnp.int32)
+        nxt = jnp.where(finished, PAD_ID, nxt)
+        finished = finished | (nxt == EOS_ID)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None],
+                                              (0, i + 1))
+        confs = jax.lax.dynamic_update_slice(confs, conf[:, None], (0, i))
+        return (i + 1, nxt, self_kv, finished, tokens, confs, rng)
+
+    state = (jnp.array(0, jnp.int32), bos, self_kv,
+             jnp.zeros((batch,), bool), tokens0, confs0, rng)
+    state = jax.lax.while_loop(cond_fn, body_fn, state)
+    tokens, confs = state[4], state[5]
+    return GenerateResult(tokens=tokens,
+                          confs=confs[:, ::conf_every][:, :n_confs])
 
 
 def postprocess(batch_preds: np.ndarray, batch_confs: np.ndarray, tokenizer

@@ -1,40 +1,42 @@
 """Whole-step decode megakernel: all decoder layers in ONE pallas_call.
 
-Why: autoregressive decode on the flagship geometry is HBM-bandwidth-bound
-(~2.75 GB/step bf16 at B=256; docs/PERF.md).  Int8 K/V halves the bytes, but
-round 1 showed per-attention Pallas calls (16/step) lose more to fixed costs
-than quantization saves.  This kernel runs the ENTIRE 8-layer decode step in
-one call:
+Why: autoregressive decode on the flagship geometry reads ~2.75 GB/step at
+B=256 in bf16 (cross-attention K/V + self cache + weights, docs/PERF.md) and
+XLA's fused step already runs at 84% of that HBM floor.  Round-1 showed that
+per-attention Pallas calls (16/step) lose more to fixed costs than int8
+storage saves.  This kernel runs the ENTIRE decoder stack for one token in
+one pallas_call:
 
   - grid = (num_layers,): per-layer weights arrive via pipelined BlockSpecs
-    (next layer's weights prefetch during the current layer's compute);
-  - activations for the whole batch live in VMEM scratch across grid steps
-    (B x D f32 = 1 MB) — they never touch HBM between layers;
-  - int8 K/V caches stay in HBM (memory_space=ANY) and are streamed in
-    CHUNK-sized batch slices with double-buffered manual DMA, overlapping
-    each chunk's attention with the next chunk's fetch;
-  - the self-attention chunk loop skips cache blocks beyond ``pos`` — early
-    decode steps read only the live triangle of the cache, not the full
-    budget rectangle;
-  - attention contractions run on the MXU in int8: q (and the post-softmax
-    weight rows) are quantized per-row so score/output dots are
-    int8 x int8 -> int32, with f32 per-row/per-key scales folded on the VPU
-    (whose per-step element load is ~100x smaller than the dots') —
-    K/V bytes are never converted to wide types at all;
-  - the current token's K/V never round-trips: it is quantized in-kernel,
-    attended in-register, and emitted for the caller to append to the cache
-    (one dynamic_update_slice across all layers in XLA).
+    (the next layer's weights prefetch during the current layer's compute);
+  - the batch's activations live in a VMEM scratch (B x D f32 = 1 MB)
+    across grid steps — they never touch HBM between layers;
+  - K/V caches are stored int8 (+ f32 per-position scales) in HBM and
+    streamed in batch-chunks with double-buffered manual DMA — HBM sees
+    half the bytes of the bf16 path;
+  - dots run on the MXU in bf16 (int8 values convert exactly; scales fold
+    into scores / softmax weights) — measured: batched-GEMV throughput is
+    set by rhs elements streamed (~0.4G elem/us) regardless of M, and int8
+    MXU dots crash this toolchain's Mosaic, so bf16-from-int8 is the fastest
+    *compiling* lowering (benchmarks/probe_attn_*.py);
+  - self-attention uses a position-bucketed dot extent: while pos < bucket
+    boundaries only the live prefix of the cache is DMA'd and dotted, so
+    early decode steps (the common case on GC10's ~12-21 token sequences)
+    skip most of the self-cache work;
+  - the current token's K/V never round-trips through HBM: it is quantized
+    in-kernel, attended in-register, and emitted as an output for the caller
+    to append to the cache (one dynamic_update_slice in XLA).
 
-The kernel serves the ``kv_quant`` fast path of generation.  The bf16 XLA
-path remains the parity-exact default (config.kv_quant=False).
+This kernel is the serving fast path behind ``generate(..., use_megakernel)``;
+the bf16 XLA path remains the parity-exact default.
 
-Reference workload being accelerated: inference_p.py:69-115 generation
-semantics (greedy/top-k sampling loop over a 101-step budget).
+Reference workload: inference_p.py:69-115 (greedy/top-k batch generation
+over a 101-step budget).
 """
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -46,45 +48,51 @@ NEG_INF = -1e30
 LANE = 128
 
 
+# --------------------------------------------------------------------- #
+# stacked layouts
+# --------------------------------------------------------------------- #
+
 class StackedDecoder(NamedTuple):
-    """Per-layer weights stacked on a leading layer axis (bf16 except LN)."""
-    wqkv: jnp.ndarray    # (L, D, 3D)  self q|k|v packed
-    bqkv: jnp.ndarray    # (L, 1, 3D)
-    wo_s: jnp.ndarray    # (L, D, D)
-    bo_s: jnp.ndarray    # (L, 1, D)
-    wq_c: jnp.ndarray    # (L, D, D)
-    bq_c: jnp.ndarray    # (L, 1, D)
-    wo_c: jnp.ndarray    # (L, D, D)
-    bo_c: jnp.ndarray    # (L, 1, D)
-    w1: jnp.ndarray      # (L, D, F)
-    b1: jnp.ndarray      # (L, 1, F)
-    w2: jnp.ndarray      # (L, F, D)
-    b2: jnp.ndarray      # (L, 1, D)
+    """Per-layer decoder weights stacked on a leading layer axis."""
+    wqkv: jnp.ndarray    # (L, D, 3D) bf16: self q|k|v packed
+    bqkv: jnp.ndarray    # (L, 1, 3D) f32
+    wo_s: jnp.ndarray    # (L, D, D) bf16
+    bo_s: jnp.ndarray    # (L, 1, D) f32
+    wq_c: jnp.ndarray    # (L, D, D) bf16
+    bq_c: jnp.ndarray    # (L, 1, D) f32
+    wo_c: jnp.ndarray    # (L, D, D) bf16
+    bo_c: jnp.ndarray    # (L, 1, D) f32
+    w1: jnp.ndarray      # (L, D, F) bf16
+    b1: jnp.ndarray      # (L, 1, F) f32
+    w2: jnp.ndarray      # (L, F, D) bf16
+    b2: jnp.ndarray      # (L, 1, D) f32
     ln: jnp.ndarray      # (L, 8, D) f32: ln1 s,b | ln2 s,b | ln3 s,b | pad
 
 
-def stack_decoder_weights(dec_params: Dict[str, Any], num_layers: int,
-                          dtype=jnp.bfloat16) -> StackedDecoder:
-    """Stack flax per-layer decoder params (models/decoder.py setup naming)
-    into the megakernel layout.  Run once per generation call (the stack is
-    jit-cached alongside the KV prefill)."""
+def stack_decoder_weights(dec_params: Dict[str, Any], num_layers: int
+                          ) -> StackedDecoder:
+    """Stack flax per-layer decoder params (models/decoder.py naming) into
+    the megakernel layout.  Runs once per generation (jit-cached)."""
     def get(i, *path):
         node = dec_params[f"layer{i}"]
         for p in path:
             node = node[p]
-        return node
+        return jnp.asarray(node)
 
-    def stacked(*path, cast=True):
-        arrs = [jnp.asarray(get(i, *path)) for i in range(num_layers)]
-        out = jnp.stack(arrs)
-        return out.astype(dtype) if cast else out
+    def stacked(*path, dtype=jnp.bfloat16):
+        return jnp.stack([get(i, *path) for i in range(num_layers)]
+                         ).astype(dtype)
+
+    def stacked_bias(*path):
+        return jnp.stack([get(i, *path) for i in range(num_layers)]
+                         ).astype(jnp.float32)[:, None, :]
 
     wq = stacked("self_attn", "q_proj", "kernel")
     wk = stacked("self_attn", "k_proj", "kernel")
     wv = stacked("self_attn", "v_proj", "kernel")
-    bq = stacked("self_attn", "q_proj", "bias")
-    bk = stacked("self_attn", "k_proj", "bias")
-    bv = stacked("self_attn", "v_proj", "bias")
+    bq = stacked_bias("self_attn", "q_proj", "bias")
+    bk = stacked_bias("self_attn", "k_proj", "bias")
+    bv = stacked_bias("self_attn", "v_proj", "bias")
     ln_rows = []
     for i in range(num_layers):
         rows = [get(i, "norm1", "scale"), get(i, "norm1", "bias"),
@@ -95,27 +103,27 @@ def stack_decoder_weights(dec_params: Dict[str, Any], num_layers: int,
         ln_rows.append(jnp.stack([r.astype(jnp.float32) for r in rows]))
     return StackedDecoder(
         wqkv=jnp.concatenate([wq, wk, wv], axis=-1),
-        bqkv=jnp.concatenate([bq, bk, bv], axis=-1)[:, None, :],
+        bqkv=jnp.concatenate([bq, bk, bv], axis=-1),
         wo_s=stacked("self_attn", "out_proj", "kernel"),
-        bo_s=stacked("self_attn", "out_proj", "bias")[:, None, :],
+        bo_s=stacked_bias("self_attn", "out_proj", "bias"),
         wq_c=stacked("cross_attn", "q_proj", "kernel"),
-        bq_c=stacked("cross_attn", "q_proj", "bias")[:, None, :],
+        bq_c=stacked_bias("cross_attn", "q_proj", "bias"),
         wo_c=stacked("cross_attn", "out_proj", "kernel"),
-        bo_c=stacked("cross_attn", "out_proj", "bias")[:, None, :],
+        bo_c=stacked_bias("cross_attn", "out_proj", "bias"),
         w1=stacked("linear1", "kernel"),
-        b1=stacked("linear1", "bias")[:, None, :],
+        b1=stacked_bias("linear1", "bias"),
         w2=stacked("linear2", "kernel"),
-        b2=stacked("linear2", "bias")[:, None, :],
-        ln=jnp.stack(ln_rows),
-    )
+        b2=stacked_bias("linear2", "bias"),
+        ln=jnp.stack(ln_rows))
 
 
 class StackedKV(NamedTuple):
-    """Stacked int8 cache: one array per K/V across all layers."""
-    k: jnp.ndarray        # (L, B, H, Lc, Dh) int8
-    k_scale: jnp.ndarray  # (L, B, H, Sc) f32, Sc = Lc padded to LANE
-    v: jnp.ndarray        # (L, B, H, Lc, Dh) int8
-    v_scale: jnp.ndarray  # (L, B, H, Sc) f32
+    """Int8 cache stacked across layers.  k/v: (L, B, H, Lc, Dh) int8;
+    scales: (L, B, H, Sc) f32 with Sc = Lc rounded up to the lane width."""
+    k: jnp.ndarray
+    k_scale: jnp.ndarray
+    v: jnp.ndarray
+    v_scale: jnp.ndarray
 
 
 def _pad_lanes(n: int) -> int:
@@ -125,31 +133,28 @@ def _pad_lanes(n: int) -> int:
 def init_stacked_cache(num_layers: int, batch: int, heads: int,
                        cache_len: int, head_dim: int) -> StackedKV:
     sc = _pad_lanes(cache_len)
-    return StackedKV(
-        k=jnp.zeros((num_layers, batch, heads, cache_len, head_dim),
-                    jnp.int8),
-        k_scale=jnp.zeros((num_layers, batch, heads, sc), jnp.float32),
-        v=jnp.zeros((num_layers, batch, heads, cache_len, head_dim),
-                    jnp.int8),
-        v_scale=jnp.zeros((num_layers, batch, heads, sc), jnp.float32))
+    z8 = lambda: jnp.zeros((num_layers, batch, heads, cache_len, head_dim),
+                           jnp.int8)
+    zs = lambda: jnp.zeros((num_layers, batch, heads, sc), jnp.float32)
+    return StackedKV(k=z8(), k_scale=zs(), v=z8(), v_scale=zs())
 
 
-def quantize_stacked(x_layers, cache_len: int) -> StackedKV:
-    """Quantize per-layer (B, H, L, Dh) K/V pairs into a StackedKV whose L
-    axis is padded to ``cache_len`` (symmetric per-position int8, matching
-    ops/kv_quant.quantize)."""
-    ks = jnp.stack([k for k, _ in x_layers])   # (L, B, H, Lm, Dh)
-    vs = jnp.stack([v for _, v in x_layers])
+def quantize_stacked(kv_layers, length: int) -> StackedKV:
+    """Per-layer (k, v) pairs of (B, H, Lm, Dh) -> StackedKV padded to
+    ``length`` positions (symmetric per-position int8, ops/kv_quant law)."""
+    ks = jnp.stack([k for k, _ in kv_layers])
+    vs = jnp.stack([v for _, v in kv_layers])
 
     def quant(t):
         amax = jnp.max(jnp.abs(t.astype(jnp.float32)), axis=-1)
         scale = amax / 127.0
-        q = jnp.round(t.astype(jnp.float32) / jnp.maximum(scale, 1e-12)[..., None])
+        q = jnp.round(t.astype(jnp.float32) /
+                      jnp.maximum(scale, 1e-12)[..., None])
         lm = t.shape[3]
         qp = jnp.pad(q.astype(jnp.int8),
-                     ((0, 0), (0, 0), (0, 0), (0, cache_len - lm), (0, 0)))
+                     ((0, 0), (0, 0), (0, 0), (0, length - lm), (0, 0)))
         sp = jnp.pad(scale, ((0, 0), (0, 0), (0, 0),
-                             (0, _pad_lanes(cache_len) - lm)))
+                             (0, _pad_lanes(length) - lm)))
         return qp, sp
 
     kq, ksc = quant(ks)
@@ -160,139 +165,305 @@ def quantize_stacked(x_layers, cache_len: int) -> StackedKV:
 def update_stacked_cache(cache: StackedKV, k_new: jnp.ndarray,
                          v_new: jnp.ndarray, k_sc: jnp.ndarray,
                          v_sc: jnp.ndarray, pos) -> StackedKV:
-    """Append the megakernel's per-layer new K/V (already int8-quantized
-    in-kernel) at position ``pos``.  k_new/v_new: (L, B, H*Dh) int8;
-    k_sc/v_sc: (L, B, H) f32."""
+    """Append the kernel's per-layer new K/V (already int8) at ``pos``.
+    k_new/v_new: (L, B, H*Dh) int8; k_sc/v_sc: (L, B, H) f32."""
     nl, b, hd = k_new.shape
     h = cache.k.shape[2]
     dh = hd // h
     kn = k_new.reshape(nl, b, h, 1, dh)
     vn = v_new.reshape(nl, b, h, 1, dh)
-    k = jax.lax.dynamic_update_slice(cache.k, kn, (0, 0, 0, pos, 0))
-    v = jax.lax.dynamic_update_slice(cache.v, vn, (0, 0, 0, pos, 0))
-    ks = jax.lax.dynamic_update_slice(cache.k_scale, k_sc[..., None],
-                                      (0, 0, 0, pos))
-    vs = jax.lax.dynamic_update_slice(cache.v_scale, v_sc[..., None],
-                                      (0, 0, 0, pos))
-    return StackedKV(k=k, k_scale=ks, v=v, v_scale=vs)
+    return StackedKV(
+        k=jax.lax.dynamic_update_slice(cache.k, kn, (0, 0, 0, pos, 0)),
+        k_scale=jax.lax.dynamic_update_slice(
+            cache.k_scale, k_sc[..., None], (0, 0, 0, pos)),
+        v=jax.lax.dynamic_update_slice(cache.v, vn, (0, 0, 0, pos, 0)),
+        v_scale=jax.lax.dynamic_update_slice(
+            cache.v_scale, v_sc[..., None], (0, 0, 0, pos)))
 
 
 # --------------------------------------------------------------------- #
-# kernel body
+# kernel
 # --------------------------------------------------------------------- #
 
 def _rowquant(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row symmetric int8 quantization over the last dim (f32 in)."""
+    """Symmetric per-row int8 quantization over the last dim (f32 in)."""
     amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     scale = amax / 127.0
     q = jnp.round(x / jnp.maximum(scale, 1e-12))
     return q.astype(jnp.int8), scale
 
 
-def _layernorm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
-               eps: float = 1e-5) -> jnp.ndarray:
+def _ln(x, scale, bias, eps=1e-5):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     xc = x - mu
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    return xc * jax.lax.rsqrt(var + eps) * scale + bias
+    return xc * jax.lax.rsqrt(var + eps) * scale[None, :] + bias[None, :]
 
 
-def _attend_chunks(x_rows, kv_refs, chunk, n_chunks, live_chunks, pos_limit,
-                   heads, head_dim, bufs, sems, extra_kv=None):
-    """Double-buffered chunked attention over an int8 cache.
+def _mm(a_f32, w_ref, b_ref):
+    """(B, K) f32 @ (K, N) bf16 + (1, N) f32 -> (B, N) f32 on the MXU."""
+    y = jnp.dot(a_f32.astype(jnp.bfloat16), w_ref[0],
+                preferred_element_type=jnp.float32)
+    return y + b_ref[0]
 
-    x_rows: (B, D) f32 query activations (pre-projection done by caller:
-    x_rows IS q already, laid out (B, H*Dh)).
-    kv_refs: (k_hbm, ks_hbm, v_hbm, vs_hbm) ANY-space refs for this layer
-             (pre-sliced: .at[layer] applied by caller).
-    live_chunks: how many batch chunks exist (static == n_chunks).
-    pos_limit: keys with index >= pos_limit are masked.
-    extra_kv: optional (k_cur, k_cur_scale, v_cur, v_cur_scale) for the
-              current token ((B, H*Dh) int8 rows + (B*H, 1) scales).
-    Returns (B, D) f32 attention output (pre out-projection).
-    """
-    kbuf, ksbuf, vbuf, vsbuf = bufs
-    k_hbm, ks_hbm, v_hbm, vs_hbm = kv_refs
-    b = x_rows.shape[0]
-    cache_len = k_hbm.shape[2]
 
-    def start_dma(c, slot):
-        lo = c * chunk
-        return [
-            pltpu.make_async_copy(k_hbm.at[pl.ds(lo, chunk)], kbuf.at[slot],
-                                  sems.at[slot, 0]),
-            pltpu.make_async_copy(ks_hbm.at[pl.ds(lo, chunk)], ksbuf.at[slot],
-                                  sems.at[slot, 1]),
-            pltpu.make_async_copy(v_hbm.at[pl.ds(lo, chunk)], vbuf.at[slot],
-                                  sems.at[slot, 2]),
-            pltpu.make_async_copy(vs_hbm.at[pl.ds(lo, chunk)], vsbuf.at[slot],
-                                  sems.at[slot, 3]),
-        ]
-
-    for d in start_dma(0, 0):
-        d.start()
-
+def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
+                 mem_len, mem_pad, sc_mem, chunk, ffn_dim, dim,
+                 self_buckets):
+    """Builds the kernel body closed over static geometry."""
+    n_chunks = batch // chunk
+    n = chunk * heads  # attention rows per chunk
     scale = head_dim ** -0.5
+
+    def kernel(pos_ref,
+               x_in, wqkv, bqkv, wo_s, bo_s, wq_c, bq_c, wo_c, bo_c,
+               w1, b1, w2, b2, ln,
+               sk_hbm, sks_hbm, sv_hbm, svs_hbm,
+               mk_hbm, mks_hbm, mv_hbm, mvs_hbm,
+               x_out, k_out, ks_out, v_out, vs_out,
+               x_buf, qkv_buf, attn_buf, kbuf, ksbuf, vbuf, vsbuf, sems):
+        layer = pl.program_id(0)
+        pos = pos_ref[0]
+
+        @pl.when(layer == 0)
+        def _():
+            x_buf[:] = x_in[:]
+
+        x = x_buf[:]
+
+        # ---- fused qkv projection (full batch on the MXU) ---- #
+        qkv_buf[:] = _mm(x, wqkv, bqkv)
+        q_s = qkv_buf[:, :dim]
+        k_new = qkv_buf[:, dim:2 * dim]
+        v_new = qkv_buf[:, 2 * dim:]
+
+        k8, k_sc = _rowquant(k_new.reshape(batch * heads, head_dim))
+        v8, v_sc = _rowquant(v_new.reshape(batch * heads, head_dim))
+        k_out[0] = k8.reshape(batch, dim)
+        v_out[0] = v8.reshape(batch, dim)
+        ks_out[0] = k_sc.reshape(batch, heads)
+        vs_out[0] = v_sc.reshape(batch, heads)
+
+        # ---- chunked, double-buffered attention ---- #
+        def dma(hbm, buf, sem, c, slot, rows):
+            lo = c * chunk
+            return pltpu.make_async_copy(
+                hbm.at[layer, pl.ds(lo, chunk), :, pl.ds(0, rows)],
+                buf.at[slot, :, :, pl.ds(0, rows)], sem)
+
+        def dma_scales(hbm, buf, sem, c, slot):
+            lo = c * chunk
+            sc = hbm.shape[3]
+            return pltpu.make_async_copy(
+                hbm.at[layer, pl.ds(lo, chunk)],
+                buf.at[slot, :, :, pl.ds(0, sc)], sem)
+
+        def attend(q_rows, k_hbm, ks_hbm, v_hbm, vs_hbm, extent, limit,
+                   cur=None):
+            """q_rows: (B, D) f32.  extent: static number of key positions
+            DMA'd and dotted.  limit: traced valid-key bound.  cur: optional
+            (k8, k_sc, v8, v_sc) current-token K/V rows.
+            Returns (B, D) f32 into attn_buf."""
+            def start(c, slot):
+                dma(k_hbm, kbuf, sems.at[slot, 0], c, slot, extent).start()
+                dma_scales(ks_hbm, ksbuf, sems.at[slot, 1], c, slot).start()
+                dma(v_hbm, vbuf, sems.at[slot, 2], c, slot, extent).start()
+                dma_scales(vs_hbm, vsbuf, sems.at[slot, 3], c, slot).start()
+
+            def wait(c, slot):
+                dma(k_hbm, kbuf, sems.at[slot, 0], c, slot, extent).wait()
+                dma_scales(ks_hbm, ksbuf, sems.at[slot, 1], c, slot).wait()
+                dma(v_hbm, vbuf, sems.at[slot, 2], c, slot, extent).wait()
+                dma_scales(vs_hbm, vsbuf, sems.at[slot, 3], c, slot).wait()
+
+            start(0, 0)
+            l_ids = jax.lax.broadcasted_iota(jnp.int32, (n, extent), 1)
+            valid = l_ids < limit
+
+            for c in range(n_chunks):
+                slot = c % 2
+                if c + 1 < n_chunks:
+                    start(c + 1, (c + 1) % 2)
+                wait(c, slot)
+
+                qc = q_rows[c * chunk:(c + 1) * chunk].reshape(
+                    n, 1, head_dim).astype(jnp.bfloat16)
+                kc = kbuf[slot, :, :, :extent].reshape(
+                    n, extent, head_dim).astype(jnp.bfloat16)
+                s = jax.lax.dot_general(
+                    qc, kc, (((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)[:, 0]   # (n, extent)
+                ksc = ksbuf[slot].reshape(n, -1)[:, :extent]
+                s = s * (scale * ksc)
+                s = jnp.where(valid, s, NEG_INF)
+
+                if cur is not None:
+                    k8c, k_scc, v8c, v_scc = cur
+                    r0 = c * chunk * heads
+                    kcur = k8c[r0:r0 + n].astype(jnp.float32)
+                    s_cur = jnp.sum(
+                        qc[:, 0].astype(jnp.float32) * kcur, axis=-1,
+                        keepdims=True) * scale * k_scc[r0:r0 + n]
+                    m = jnp.maximum(jnp.max(s, -1, keepdims=True), s_cur)
+                    e = jnp.exp(s - m)
+                    e_cur = jnp.exp(s_cur - m)
+                    denom = jnp.sum(e, -1, keepdims=True) + e_cur
+                    w = e / denom
+                else:
+                    m = jnp.max(s, -1, keepdims=True)
+                    e = jnp.exp(s - m)
+                    w = e / jnp.sum(e, -1, keepdims=True)
+
+                vsc = vsbuf[slot].reshape(n, -1)[:, :extent]
+                wv = jnp.where(valid, w * vsc, 0.0)
+                vc = vbuf[slot, :, :, :extent].reshape(
+                    n, extent, head_dim).astype(jnp.bfloat16)
+                o = jax.lax.dot_general(
+                    wv.astype(jnp.bfloat16)[:, None, :], vc,
+                    (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)[:, 0]   # (n, Dh)
+                if cur is not None:
+                    w_cur = e_cur / denom
+                    vcur = v8c[r0:r0 + n].astype(jnp.float32)
+                    o = o + (w_cur * v_scc[r0:r0 + n]) * vcur
+                attn_buf[c * chunk:(c + 1) * chunk, :] = o.reshape(chunk, dim)
+
+        # self-attention with position-bucketed extent: early steps only
+        # touch the live prefix of the cache
+        cur = (k8, k_sc, v8, v_sc)
+        for i, bucket in enumerate(self_buckets):
+            lo = 0 if i == 0 else self_buckets[i - 1]
+            is_last = i == len(self_buckets) - 1
+            in_bucket = (pos >= lo) & (pos < bucket) if not is_last \
+                else (pos >= lo)
+
+            @pl.when(in_bucket)
+            def _(bucket=bucket):
+                attend(q_s, sk_hbm, sks_hbm, sv_hbm, svs_hbm,
+                       min(bucket, cache_len), pos, cur=cur)
+
+        x = _ln(x + _mm(attn_buf[:], wo_s, bo_s), ln[0, 0], ln[0, 1])
+
+        q_c = _mm(x, wq_c, bq_c)
+        attend(q_c, mk_hbm, mks_hbm, mv_hbm, mvs_hbm, mem_pad,
+               jnp.int32(mem_len))
+        x = _ln(x + _mm(attn_buf[:], wo_c, bo_c), ln[0, 2], ln[0, 3])
+
+        ff = jnp.maximum(_mm(x, w1, b1), 0.0)
+        x = _ln(x + _mm(ff, w2, b2), ln[0, 4], ln[0, 5])
+
+        x_buf[:] = x
+        x_out[:] = x
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_layers", "heads", "mem_len", "chunk",
+                     "interpret"))
+def fused_decode_step(weights: StackedDecoder, x: jnp.ndarray,
+                      self_kv: StackedKV, mem_kv: StackedKV, pos,
+                      *, num_layers: int, heads: int, mem_len: int,
+                      chunk: int = 32, interpret: Optional[bool] = None):
+    """One decode step for the whole decoder stack.
+
+    x: (B, D) f32 embedded current token (+ positional embedding).
+    self_kv: int8 cache (positions < pos are live).
+    mem_kv: quantized cross-attention memory (first mem_len positions live).
+    Returns (x_out (B, D) f32, k_new, v_new (L, B, D) int8,
+             k_sc, v_sc (L, B, H) f32) — caller appends via
+    ``update_stacked_cache`` and projects x_out to logits.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, dim = x.shape
+    head_dim = dim // heads
+    cache_len = self_kv.k.shape[3]
+    mem_pad = mem_kv.k.shape[3]
+    ffn_dim = weights.w1.shape[2]
+    chunk = min(chunk, b)
+    assert b % chunk == 0, (b, chunk)
     n = chunk * heads
-    l_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, cache_len), 2)
-    valid = l_ids < pos_limit
-    out = jnp.zeros((b, heads * head_dim), jnp.float32)
 
-    for c in range(n_chunks):
-        slot = c % 2
+    # static self-extent buckets (multiples of the sublane granularity)
+    buckets = [32, 64, cache_len]
+    buckets = sorted({min(bb, cache_len) for bb in buckets})
 
-        if c + 1 < n_chunks:
-            for d in start_dma(c + 1, (c + 1) % 2):
-                d.start()
-        for d in start_dma(c, slot):
-            d.wait()
+    kernel = _make_kernel(
+        num_layers=num_layers, batch=b, heads=heads, head_dim=head_dim,
+        cache_len=cache_len, sc_self=self_kv.k_scale.shape[3],
+        mem_len=mem_len, mem_pad=mem_pad, sc_mem=mem_kv.k_scale.shape[3],
+        chunk=chunk, ffn_dim=ffn_dim, dim=dim, self_buckets=buckets)
 
-        qc = x_rows[c * chunk:(c + 1) * chunk].reshape(n, 1,
-                                                       head_dim * heads // heads)
-        q8, q_scale = _rowquant(qc)
+    L = num_layers
+    w = weights
+    def lspec(*blk):
+        return pl.BlockSpec((1,) + blk,
+                            lambda l, *_: (l,) + (0,) * len(blk),
+                            memory_space=pltpu.VMEM)
 
-        kc = kbuf[slot].reshape(n, cache_len, head_dim)
-        s32 = jax.lax.dot_general(
-            q8, kc, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32)              # (n, 1, Lc)
-        ksc = ksbuf[slot].reshape(n, 1, -1)[:, :, :cache_len]
-        s = s32.astype(jnp.float32) * (q_scale * scale) * ksc
-        s = jnp.where(valid, s, NEG_INF)
+    def const(*shp):
+        return pl.BlockSpec(shp, lambda l, *_: (0,) * len(shp),
+                            memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-        if extra_kv is not None:
-            k_cur, k_cur_sc, v_cur, v_cur_sc = extra_kv
-            kc_cur = k_cur[c * chunk:(c + 1) * chunk].reshape(n, -1)
-            s_cur = jnp.sum(
-                q8[:, 0].astype(jnp.float32) * kc_cur.astype(jnp.float32),
-                axis=-1, keepdims=True)
-            s_cur = (s_cur * q_scale[:, 0] * scale *
-                     k_cur_sc[c * chunk * heads:(c + 1) * chunk * heads])
-            m = jnp.maximum(jnp.max(s[:, 0], -1, keepdims=True), s_cur)
-            e = jnp.exp(s[:, 0] - m)
-            e_cur = jnp.exp(s_cur - m)
-            denom = jnp.sum(e, -1, keepdims=True) + e_cur
-            w = e / denom
-            w_cur = e_cur / denom
-        else:
-            m = jnp.max(s[:, 0], -1, keepdims=True)
-            e = jnp.exp(s[:, 0] - m)
-            w = e / jnp.sum(e, -1, keepdims=True)
-            w_cur = None
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(L,),
+        in_specs=[
+            const(b, dim),                       # x
+            lspec(dim, 3 * dim), lspec(1, 3 * dim),   # wqkv, bqkv
+            lspec(dim, dim), lspec(1, dim),           # wo_s, bo_s
+            lspec(dim, dim), lspec(1, dim),           # wq_c, bq_c
+            lspec(dim, dim), lspec(1, dim),           # wo_c, bo_c
+            lspec(dim, ffn_dim), lspec(1, ffn_dim),   # w1, b1
+            lspec(ffn_dim, dim), lspec(1, dim),       # w2, b2
+            lspec(8, dim),                            # ln
+            any_spec, any_spec, any_spec, any_spec,   # self k, ks, v, vs
+            any_spec, any_spec, any_spec, any_spec,   # mem k, ks, v, vs
+        ],
+        out_specs=[
+            const(b, dim),                            # x_out
+            lspec(b, dim), lspec(b, heads),           # k_new, k_sc
+            lspec(b, dim), lspec(b, heads),           # v_new, v_sc
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, dim), jnp.float32),        # x_buf
+            pltpu.VMEM((b, 3 * dim), jnp.float32),    # qkv_buf
+            pltpu.VMEM((b, dim), jnp.float32),        # attn_buf
+            # K/V chunk buffers shared by the self and cross phases
+            pltpu.VMEM((2, chunk, heads, max(mem_pad, cache_len),
+                        head_dim), jnp.int8),
+            pltpu.VMEM((2, chunk, heads,
+                        max(mem_kv.k_scale.shape[3],
+                            self_kv.k_scale.shape[3])), jnp.float32),
+            pltpu.VMEM((2, chunk, heads, max(mem_pad, cache_len),
+                        head_dim), jnp.int8),
+            pltpu.VMEM((2, chunk, heads,
+                        max(mem_kv.k_scale.shape[3],
+                            self_kv.k_scale.shape[3])), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
+        ],
+    )
 
-        vsc = vsbuf[slot].reshape(n, -1)[:, :cache_len]
-        wv = w * vsc
-        wv = jnp.where(valid[:, 0], wv, 0.0)
-        w8, w_scale = _rowquant(wv)
-        vc = vbuf[slot].reshape(n, cache_len, head_dim)
-        o32 = jax.lax.dot_general(
-            w8[:, None, :], vc, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.int32)              # (n, 1, Dh)
-        oc = o32.astype(jnp.float32)[:, 0] * w_scale
-        if w_cur is not None:
-            vc_cur = v_cur[c * chunk:(c + 1) * chunk].reshape(n, -1)
-            v_cur_s = v_cur_sc[c * chunk * heads:(c + 1) * chunk * heads]
-            oc = oc + (w_cur * v_cur_s) * vc_cur.astype(jnp.float32)
-        out = jax.lax.dynamic_update_slice(
-            out, oc.reshape(chunk, heads * head_dim), (c * chunk, 0))
-
-    return out
+    pos_arr = jnp.full((1,), pos, jnp.int32)
+    x_out, k_new, k_sc, v_new, v_sc = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, dim), jnp.float32),
+            jax.ShapeDtypeStruct((L, b, dim), jnp.int8),
+            jax.ShapeDtypeStruct((L, b, heads), jnp.float32),
+            jax.ShapeDtypeStruct((L, b, dim), jnp.int8),
+            jax.ShapeDtypeStruct((L, b, heads), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )(pos_arr, x,
+      w.wqkv, w.bqkv, w.wo_s, w.bo_s, w.wq_c, w.bq_c, w.wo_c, w.bo_c,
+      w.w1, w.b1, w.w2, w.b2, w.ln,
+      self_kv.k, self_kv.k_scale, self_kv.v, self_kv.v_scale,
+      mem_kv.k, mem_kv.k_scale, mem_kv.v, mem_kv.v_scale)
+    return x_out, k_new, v_new, k_sc, v_sc

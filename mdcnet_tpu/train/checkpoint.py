@@ -98,7 +98,11 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         assert step is not None, "no checkpoint found"
         if self._mgr is not None:
-            target = jax.tree_util.tree_map(np.asarray, template)
+            # host-side zeros template: np.asarray(template) would round-trip
+            # the full state through the device (minutes over a remote
+            # tunnel); only shapes/dtypes matter to orbax
+            target = jax.tree_util.tree_map(
+                lambda x: np.zeros(np.shape(x), x.dtype), template)
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(target))
         else:

@@ -1,0 +1,203 @@
+"""Megakernel numerics: interpret-mode kernel vs a pure-jnp mirror.
+
+The mirror applies the same op order and casts (bf16 dots over int8-stored
+K/V with f32 per-position scales), so agreement is tight; compiled-TPU
+equivalence to the XLA path is exercised by benchmarks/bench_megakernel.py
+and the caption-identity check there.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mdcnet_tpu.ops import megakernel as mk
+
+L_LAYERS, B, H, DH = 2, 4, 2, 128
+D = H * DH
+FFN = 256
+CACHE = 16
+MEM_REAL, MEM_PAD = 10, 16
+
+
+def rand_weights(rng):
+    def r(*shape, scale=0.05):
+        nonlocal rng
+        rng, k = jax.random.split(rng)
+        return (jax.random.normal(k, shape, jnp.float32) * scale)
+
+    layers = {}
+    for i in range(L_LAYERS):
+        layers[f"layer{i}"] = {
+            "self_attn": {p: {"kernel": r(D, D), "bias": r(D)}
+                          for p in ("q_proj", "k_proj", "v_proj",
+                                    "out_proj")},
+            "cross_attn": {p: {"kernel": r(D, D), "bias": r(D)}
+                           for p in ("q_proj", "k_proj", "v_proj",
+                                     "out_proj")},
+            "linear1": {"kernel": r(D, FFN), "bias": r(FFN)},
+            "linear2": {"kernel": r(FFN, D), "bias": r(D)},
+            "norm1": {"scale": 1.0 + r(D), "bias": r(D)},
+            "norm2": {"scale": 1.0 + r(D), "bias": r(D)},
+            "norm3": {"scale": 1.0 + r(D), "bias": r(D)},
+        }
+    return layers
+
+
+def mirror_attend(q, kq, ks, vq, vs, extent, limit, cur=None):
+    """q: (B, D) f32; kq/vq: (B, H, Lc, Dh) int8; ks/vs: (B, H, Sc) f32."""
+    n = q.shape[0] * H
+    qc = q.reshape(n, 1, DH).astype(jnp.bfloat16)
+    kc = kq[:, :, :extent].reshape(n, extent, DH).astype(jnp.bfloat16)
+    s = jax.lax.dot_general(qc, kc, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)[:, 0]
+    s = s * (DH ** -0.5) * ks.reshape(n, -1)[:, :extent]
+    ids = np.arange(extent)[None, :]
+    s = jnp.where(ids < limit, s, mk.NEG_INF)
+    if cur is not None:
+        k8, ksc_c, v8, vsc_c = cur
+        s_cur = jnp.sum(qc[:, 0].astype(jnp.float32)
+                        * k8.astype(jnp.float32), -1, keepdims=True) \
+            * (DH ** -0.5) * ksc_c
+        m = jnp.maximum(jnp.max(s, -1, keepdims=True), s_cur)
+        e, e_cur = jnp.exp(s - m), jnp.exp(s_cur - m)
+        den = jnp.sum(e, -1, keepdims=True) + e_cur
+        w, w_cur = e / den, e_cur / den
+    else:
+        m = jnp.max(s, -1, keepdims=True)
+        e = jnp.exp(s - m)
+        w = e / jnp.sum(e, -1, keepdims=True)
+    wv = w * vs.reshape(n, -1)[:, :extent]
+    wv = jnp.where(ids < limit, wv, 0.0)
+    vc = vq[:, :, :extent].reshape(n, extent, DH).astype(jnp.bfloat16)
+    o = jax.lax.dot_general(wv.astype(jnp.bfloat16)[:, None], vc,
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)[:, 0]
+    if cur is not None:
+        o = o + (w_cur * vsc_c) * v8.astype(jnp.float32)
+    return o.reshape(-1, D)
+
+
+def mirror_step(w: mk.StackedDecoder, x, self_kv: mk.StackedKV,
+                mem_kv: mk.StackedKV, pos):
+    outs = []
+    for l in range(L_LAYERS):
+        def mm(a, wgt, b):
+            return jnp.dot(a.astype(jnp.bfloat16), wgt[l],
+                           preferred_element_type=jnp.float32) + b[l]
+
+        qkv = mm(x, w.wqkv, w.bqkv)
+        q, k_new, v_new = (qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:])
+        k8, ksc = mk._rowquant(k_new.reshape(B * H, DH))
+        v8, vsc = mk._rowquant(v_new.reshape(B * H, DH))
+        outs.append((k8, ksc, v8, vsc))
+        extent = CACHE if pos >= 64 else (64 if pos >= 32 else 32)
+        extent = min(extent, CACHE)
+        attn = mirror_attend(q, self_kv.k[l], self_kv.k_scale[l],
+                             self_kv.v[l], self_kv.v_scale[l],
+                             extent, pos, cur=(k8, ksc, v8, vsc))
+        x = mk._ln(x + mm(attn, w.wo_s, w.bo_s), w.ln[l, 0], w.ln[l, 1])
+        qc = mm(x, w.wq_c, w.bq_c)
+        attn = mirror_attend(qc, mem_kv.k[l], mem_kv.k_scale[l],
+                             mem_kv.v[l], mem_kv.v_scale[l],
+                             MEM_PAD, MEM_REAL)
+        x = mk._ln(x + mm(attn, w.wo_c, w.bo_c), w.ln[l, 2], w.ln[l, 3])
+        ff = jnp.maximum(mm(x, w.w1, w.b1), 0.0)
+        x = mk._ln(x + mm(ff, w.w2, w.b2), w.ln[l, 4], w.ln[l, 5])
+    return x, outs
+
+
+@pytest.mark.parametrize("pos", [0, 3, 15])
+def test_fused_step_matches_mirror(pos):
+    rng = jax.random.PRNGKey(42)
+    params = rand_weights(rng)
+    w = mk.stack_decoder_weights(params, L_LAYERS)
+
+    rng, k1, k2, k3 = jax.random.split(rng, 4)
+    x = jax.random.normal(k1, (B, D), jnp.float32)
+
+    # live caches: quantized random K/V in the first `pos` slots
+    kv_layers = [(jax.random.normal(jax.random.fold_in(k2, l),
+                                    (B, H, CACHE, DH)) * 0.3,
+                  jax.random.normal(jax.random.fold_in(k2, 100 + l),
+                                    (B, H, CACHE, DH)) * 0.3)
+                 for l in range(L_LAYERS)]
+    self_kv = mk.quantize_stacked(kv_layers, CACHE)
+
+    mem_layers = [(jax.random.normal(jax.random.fold_in(k3, l),
+                                     (B, H, MEM_REAL, DH)) * 0.3,
+                   jax.random.normal(jax.random.fold_in(k3, 100 + l),
+                                     (B, H, MEM_REAL, DH)) * 0.3)
+                  for l in range(L_LAYERS)]
+    mem_kv = mk.quantize_stacked(mem_layers, MEM_PAD)
+
+    x_out, k_new, v_new, k_sc, v_sc = mk.fused_decode_step(
+        w, x, self_kv, mem_kv, pos,
+        num_layers=L_LAYERS, heads=H, mem_len=MEM_REAL, chunk=2,
+        interpret=True)
+
+    x_ref, kv_ref = mirror_step(w, x, self_kv, mem_kv, pos)
+
+    np.testing.assert_allclose(np.asarray(x_out), np.asarray(x_ref),
+                               rtol=2e-4, atol=2e-4)
+    for l in range(L_LAYERS):
+        k8, ksc, v8, vsc = kv_ref[l]
+        np.testing.assert_array_equal(np.asarray(k_new[l]),
+                                      np.asarray(k8.reshape(B, D)))
+        np.testing.assert_array_equal(np.asarray(v_new[l]),
+                                      np.asarray(v8.reshape(B, D)))
+        np.testing.assert_allclose(np.asarray(k_sc[l]),
+                                   np.asarray(ksc.reshape(B, H)), rtol=1e-6)
+
+
+class TestGenerateIntegration:
+    def _build(self):
+        import dataclasses
+        from mdcnet_tpu.config import test_preset
+        from mdcnet_tpu.models import build_model
+        cfg = test_preset()
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, enc_out_dim=256, dec_dim=256, dec_heads=2,
+            dec_layers=2, dtype="float32"))
+        model = build_model(cfg.model)
+        rng = jax.random.PRNGKey(7)
+        images = jax.random.uniform(
+            rng, (4, cfg.data.img_size, cfg.data.img_size, 3))
+        params = model.init({"params": rng}, images,
+                            jnp.zeros((4, cfg.data.max_len - 1), jnp.int32))
+        return model, params, images, cfg
+
+    def test_tokens_track_xla_path(self):
+        """Int8-quantized megakernel generation matches the exact path's
+        greedy tokens on a (deterministic, peaked-logit-free) tiny model up
+        to quantization noise: first-step logits close, sequences mostly
+        identical."""
+        from mdcnet_tpu.infer.generate import generate
+        model, params, images, cfg = self._build()
+        rng = jax.random.PRNGKey(0)
+        ref = generate(model, params, images, rng, steps=8, greedy=True,
+                       early_exit=False)
+        got = generate(model, params, images, rng, steps=8, greedy=True,
+                       early_exit=False, use_megakernel=True)
+        assert got.tokens.shape == ref.tokens.shape
+        agree = np.mean(np.asarray(got.tokens) == np.asarray(ref.tokens))
+        assert agree >= 0.7, f"token agreement {agree}"
+        # confidences of agreeing positions should be close
+        assert np.allclose(np.asarray(got.confs), np.asarray(ref.confs),
+                           atol=0.1)
+
+
+def test_cache_update_roundtrip():
+    cache = mk.init_stacked_cache(L_LAYERS, B, H, CACHE, DH)
+    k_new = jnp.ones((L_LAYERS, B, D), jnp.int8) * 5
+    v_new = jnp.ones((L_LAYERS, B, D), jnp.int8) * 7
+    ksc = jnp.full((L_LAYERS, B, H), 0.5)
+    vsc = jnp.full((L_LAYERS, B, H), 0.25)
+    out = mk.update_stacked_cache(cache, k_new, v_new, ksc, vsc, 3)
+    assert int(out.k[1, 2, 1, 3, 10]) == 5
+    assert int(out.v[0, 0, 0, 3, 0]) == 7
+    assert float(out.k_scale[1, 2, 1, 3]) == 0.5
+    assert int(out.k[0, 0, 0, 2, 0]) == 0
