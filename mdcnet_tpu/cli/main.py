@@ -156,7 +156,7 @@ def cmd_infer(args):
                               steps=cfg.infer.generation_steps,
                               beam_size=args.beam)
             tokens = np.asarray(out.tokens[:, 0])
-            confs = np.exp(np.asarray(out.log_probs[:, :1]))
+            confs = np.asarray(out.confs[:, 0])  # top beam's surface
         else:
             res = generate(model, params, images, rng,
                            steps=cfg.infer.generation_steps,

@@ -144,6 +144,9 @@ class TrainConfig:
     # the reference (no gradient).  If False, use the differentiable
     # expected-coordinate box loss instead.
     replicate_nondiff_giou: bool = True
+    # Gradient accumulation: optimizer applies every N micro-batches
+    # (effective batch = N * batch_size); 1 = reference behavior
+    grad_accum_steps: int = 1
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
 

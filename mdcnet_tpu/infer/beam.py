@@ -29,12 +29,17 @@ NEG_INF = -1e9
 class BeamResult(NamedTuple):
     tokens: jnp.ndarray       # (B, K, steps+1) best-first
     log_probs: jnp.ndarray    # (B, K)
+    confs: jnp.ndarray        # (B, K, ceil(steps/conf_every)) per-beam
+    # top-1 confidence of the chosen token, recorded every conf_every
+    # steps — the beam analogue of generate()'s confidence surface, so
+    # postprocess() can consume beam output unchanged (inference_p.py:84-86)
 
 
 @functools.partial(jax.jit, static_argnames=("model", "steps", "beam_size",
-                                             "length_penalty"))
+                                             "length_penalty", "conf_every"))
 def beam_search(model, params, images: jnp.ndarray, steps: int = 101,
-                beam_size: int = 3, length_penalty: float = 0.0) -> BeamResult:
+                beam_size: int = 3, length_penalty: float = 0.0,
+                conf_every: int = 4) -> BeamResult:
     decoder = model.decoder
     B = images.shape[0]
     K = beam_size
@@ -59,7 +64,7 @@ def beam_search(model, params, images: jnp.ndarray, steps: int = 101,
         return jax.tree_util.tree_map(lambda x: x[flat_idx], tree)
 
     def body(carry, i):
-        tokens, scores, caches, finished = carry
+        tokens, scores, caches, finished, confs = carry
         cur = jax.lax.dynamic_slice(tokens, (0, 0, i), (B, K, 1))[..., 0]
         key_valid = (positions <= i) & jnp.ones((B * K, 1), bool)
         logits, caches = model.apply(
@@ -82,13 +87,20 @@ def beam_search(model, params, images: jnp.ndarray, steps: int = 101,
         tokens = jnp.take_along_axis(tokens, parent[..., None], axis=1)
         tokens = jax.lax.dynamic_update_slice(
             tokens, tok[..., None], (0, 0, i + 1))
+        # chosen-token probability = exp(new beam score - parent score)
+        prev = jnp.take_along_axis(scores, parent, axis=1)
+        conf = jnp.exp(top_scores - prev)
+        confs = jnp.take_along_axis(confs, parent[..., None], axis=1)
+        confs = jax.lax.dynamic_update_slice(
+            confs, conf[..., None], (0, 0, i))
         finished = jnp.take_along_axis(finished, parent, axis=1) | \
             (tok == EOS_ID)
         caches = gather_beams(caches, parent)
-        return (tokens, top_scores, caches, finished), None
+        return (tokens, top_scores, caches, finished, confs), None
 
-    init = (tokens0, scores0, caches, jnp.zeros((B, K), bool))
-    (tokens, scores, _, finished), _ = jax.lax.scan(
+    confs0 = jnp.zeros((B, K, steps), jnp.float32)
+    init = (tokens0, scores0, caches, jnp.zeros((B, K), bool), confs0)
+    (tokens, scores, _, finished, confs), _ = jax.lax.scan(
         body, init, jnp.arange(steps))
 
     if length_penalty > 0.0:
@@ -99,4 +111,7 @@ def beam_search(model, params, images: jnp.ndarray, steps: int = 101,
     order = jnp.argsort(-norm, axis=1)
     tokens = jnp.take_along_axis(tokens, order[..., None], axis=1)
     scores = jnp.take_along_axis(norm, order, axis=1)
-    return BeamResult(tokens=tokens, log_probs=scores)
+    confs = jnp.take_along_axis(confs, order[..., None], axis=1)
+    n_confs = (steps + conf_every - 1) // conf_every
+    confs = confs[:, :, ::conf_every][:, :, :n_confs]
+    return BeamResult(tokens=tokens, log_probs=scores, confs=confs)

@@ -277,7 +277,11 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
                 dma_scales(vs_hbm, vsbuf, sems.at[slot, 3], c, slot).wait()
 
             start(0, 0)
-            l_ids = jax.lax.broadcasted_iota(jnp.int32, (n, extent), 1)
+            # all row tensors stay 3D (n, 1, lanes): Mosaic supports
+            # middle-1 inserts/merges only when the lane dim is 128-aligned,
+            # and batched dots only with non-degenerate lhs specs — 3D
+            # throughout satisfies both (see docs/PERF.md round-2 notes)
+            l_ids = jax.lax.broadcasted_iota(jnp.int32, (n, 1, extent), 2)
             valid = l_ids < limit
 
             for c in range(n_chunks):
@@ -292,18 +296,22 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
                     n, extent, head_dim).astype(jnp.bfloat16)
                 s = jax.lax.dot_general(
                     qc, kc, (((2,), (2,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)[:, 0]   # (n, extent)
-                ksc = ksbuf[slot].reshape(n, -1)[:, :extent]
+                    preferred_element_type=jnp.float32)      # (n, 1, extent)
+                ksc = ksbuf[slot].reshape(n, 1, -1)[:, :, :extent]
                 s = s * (scale * ksc)
                 s = jnp.where(valid, s, NEG_INF)
 
                 if cur is not None:
-                    k8c, k_scc, v8c, v_scc = cur
-                    r0 = c * chunk * heads
-                    kcur = k8c[r0:r0 + n].astype(jnp.float32)
-                    s_cur = jnp.sum(
-                        qc[:, 0].astype(jnp.float32) * kcur, axis=-1,
-                        keepdims=True) * scale * k_scc[r0:r0 + n]
+                    # current token: dequantized 2D rows -> (n,1,128) -> a
+                    # second dot whose output is (n,1,1), sidestepping any
+                    # unaligned-lane reshape
+                    kcur_d, vcur_d = cur
+                    kc3 = kcur_d[c * chunk * heads:
+                                 (c + 1) * chunk * heads].reshape(
+                        n, 1, head_dim).astype(jnp.bfloat16)
+                    s_cur = jax.lax.dot_general(
+                        qc, kc3, (((2,), (2,)), ((0,), (0,))),
+                        preferred_element_type=jnp.float32) * scale  # (n,1,1)
                     m = jnp.maximum(jnp.max(s, -1, keepdims=True), s_cur)
                     e = jnp.exp(s - m)
                     e_cur = jnp.exp(s_cur - m)
@@ -314,23 +322,26 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
                     e = jnp.exp(s - m)
                     w = e / jnp.sum(e, -1, keepdims=True)
 
-                vsc = vsbuf[slot].reshape(n, -1)[:, :extent]
+                vsc = vsbuf[slot].reshape(n, 1, -1)[:, :, :extent]
                 wv = jnp.where(valid, w * vsc, 0.0)
                 vc = vbuf[slot, :, :, :extent].reshape(
                     n, extent, head_dim).astype(jnp.bfloat16)
                 o = jax.lax.dot_general(
-                    wv.astype(jnp.bfloat16)[:, None, :], vc,
+                    wv.astype(jnp.bfloat16), vc,
                     (((2,), (1,)), ((0,), (0,))),
-                    preferred_element_type=jnp.float32)[:, 0]   # (n, Dh)
+                    preferred_element_type=jnp.float32)      # (n, 1, Dh)
                 if cur is not None:
-                    w_cur = e_cur / denom
-                    vcur = v8c[r0:r0 + n].astype(jnp.float32)
-                    o = o + (w_cur * v_scc[r0:r0 + n]) * vcur
+                    w_cur = e_cur / denom                    # (n, 1, 1)
+                    vc3 = vcur_d[c * chunk * heads:
+                                 (c + 1) * chunk * heads].reshape(
+                        n, 1, head_dim)
+                    o = o + w_cur * vc3
                 attn_buf[c * chunk:(c + 1) * chunk, :] = o.reshape(chunk, dim)
 
         # self-attention with position-bucketed extent: early steps only
-        # touch the live prefix of the cache
-        cur = (k8, k_sc, v8, v_sc)
+        # touch the live prefix of the cache.  Current-token K/V enter
+        # dequantized (same values future steps will read from the cache).
+        cur = (k8.astype(jnp.float32) * k_sc, v8.astype(jnp.float32) * v_sc)
         for i, bucket in enumerate(self_buckets):
             lo = 0 if i == 0 else self_buckets[i - 1]
             is_last = i == len(self_buckets) - 1

@@ -101,12 +101,41 @@ def make_train_step(model, cfg, apply_fn=None):
         metrics.update(box_metrics)
         return total, metrics
 
+    accum = max(1, getattr(cfg.train, "grad_accum_steps", 1))
+
     @jax.jit
     def train_step(state: TrainState, images: jnp.ndarray, y: jnp.ndarray
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """One optimizer step.  With cfg.train.grad_accum_steps > 1 the
+        batch is split into that many micro-batches along axis 0 and
+        gradients are averaged over a lax.scan before the single optimizer
+        update (effective batch = full input batch, activation memory =
+        one micro-batch)."""
         rngs, next_rng = state.next_rngs("dropout", "patch_dropout", "sampling")
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, metrics), grads = grad_fn(state.params["params"], images, y, rngs)
+        if accum == 1:
+            (_, metrics), grads = grad_fn(state.params["params"], images, y,
+                                          rngs)
+        else:
+            b = images.shape[0]
+            mb = b // accum
+            assert mb * accum == b, (b, accum)
+            im_mb = images[:mb * accum].reshape((accum, mb) + images.shape[1:])
+            y_mb = y[:mb * accum].reshape((accum, mb) + y.shape[1:])
+
+            def micro(carry, xs):
+                grads_acc, i = carry
+                im_i, y_i = xs
+                sub = {k: jax.random.fold_in(v, i) for k, v in rngs.items()}
+                (_, m), g = grad_fn(state.params["params"], im_i, y_i, sub)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+                return (grads_acc, i + 1), m
+
+            zeros = jax.tree_util.tree_map(jnp.zeros_like,
+                                           state.params["params"])
+            (grads, _), ms = jax.lax.scan(micro, (zeros, 0), (im_mb, y_mb))
+            grads = jax.tree_util.tree_map(lambda g: g / accum, grads)
+            metrics = jax.tree_util.tree_map(lambda m: jnp.mean(m, axis=0), ms)
         updates, opt_state = tx.update(grads, state.opt_state,
                                        state.params["params"])
         params = optax.apply_updates(state.params["params"], updates)

@@ -103,7 +103,10 @@ def main():
         print(f"epoch {epoch}: ce={metrics['ce_loss']:.4f} "
               f"giou={metrics['giou_loss']:.4f} "
               f"({time.time() - t0:.0f}s)", flush=True)
-        ckpt.save(state)
+        # saving round-trips ~1.5 GB through the device tunnel (~90 s);
+        # amortize over several epochs
+        if epoch % 5 == 4 or epoch == args.epochs - 1:
+            ckpt.save(state)
     print(f"saved step={int(state.step)} -> {args.out}", flush=True)
 
     # quick workload probe: generation length with early exit

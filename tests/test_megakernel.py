@@ -59,9 +59,10 @@ def mirror_attend(q, kq, ks, vq, vs, extent, limit, cur=None):
     s = jnp.where(ids < limit, s, mk.NEG_INF)
     if cur is not None:
         k8, ksc_c, v8, vsc_c = cur
+        kd = (k8.astype(jnp.float32) * ksc_c).astype(jnp.bfloat16)
         s_cur = jnp.sum(qc[:, 0].astype(jnp.float32)
-                        * k8.astype(jnp.float32), -1, keepdims=True) \
-            * (DH ** -0.5) * ksc_c
+                        * kd.astype(jnp.float32), -1, keepdims=True) \
+            * (DH ** -0.5)
         m = jnp.maximum(jnp.max(s, -1, keepdims=True), s_cur)
         e, e_cur = jnp.exp(s - m), jnp.exp(s_cur - m)
         den = jnp.sum(e, -1, keepdims=True) + e_cur
@@ -77,7 +78,7 @@ def mirror_attend(q, kq, ks, vq, vs, extent, limit, cur=None):
                             (((2,), (1,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)[:, 0]
     if cur is not None:
-        o = o + (w_cur * vsc_c) * v8.astype(jnp.float32)
+        o = o + w_cur * (v8.astype(jnp.float32) * vsc_c)
     return o.reshape(-1, D)
 
 

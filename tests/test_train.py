@@ -178,3 +178,47 @@ class TestDifferentiableGiou:
         state, metrics = train_step(state, images, y)
         assert np.isfinite(float(metrics["giou_loss"]))
         assert float(metrics["giou_loss"]) > 0
+
+
+class TestGradAccum:
+    def test_accum2_matches_single_batch(self):
+        """With dropout off and the differentiable box loss, 2 accumulated
+        micro-batches produce the same optimizer step as the full batch
+        (mean-of-means == global mean for equal micro sizes)."""
+        import dataclasses
+        from mdcnet_tpu.config import test_preset
+        from mdcnet_tpu.models import build_model
+        from mdcnet_tpu.train.state import create_train_state
+        from mdcnet_tpu.train.step import make_train_step
+
+        cfg = test_preset()
+        cfg = cfg.replace(
+            train=dataclasses.replace(cfg.train,
+                                      replicate_nondiff_giou=False),
+            model=dataclasses.replace(cfg.model, dec_pos_dropout=0.0,
+                                      dec_layer_dropout=0.0,
+                                      patch_dropout_rate=0.0))
+        model = build_model(cfg.model)
+        rng = jax.random.PRNGKey(3)
+        images = jax.random.uniform(rng, (4, cfg.data.img_size,
+                                          cfg.data.img_size, 3))
+        y = np.full((4, cfg.data.max_len), PAD_ID, np.int32)
+        y[:, :11] = [300, 303, 270, 271, 304, 263, 10, 20, 110, 120, 301]
+        y = jnp.asarray(y)
+        state = create_train_state(model, cfg, rng, images, y[:, :-1])
+
+        step1, _ = make_train_step(model, cfg)
+        s1, _ = step1(state, images, y)
+
+        cfg2 = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                     grad_accum_steps=2))
+        step2, _ = make_train_step(model, cfg2)
+        s2, m2 = step2(state, images, y)
+        assert np.isfinite(float(m2["total_loss"]))
+
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(s1.params),
+                jax.tree_util.tree_leaves_with_path(s2.params)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5,
+                err_msg=jax.tree_util.keystr(pa))
