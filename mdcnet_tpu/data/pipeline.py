@@ -70,6 +70,10 @@ class SteelDefectDataset:
         self.synthetic = synthetic_images
         self.native_size = native_size
         self._boxes = ann.boxes_of(records)
+        # rendered pixels are deterministic per index — cache them (a full
+        # GC10 epoch is ~560 MB at 256px; re-rendering costs ~60s/epoch of
+        # single-core host time otherwise)
+        self._render_cache = {} if synthetic_images == "learnable" else None
 
     def __len__(self) -> int:
         return ann.num_rows(self.records)
@@ -79,11 +83,15 @@ class SteelDefectDataset:
         path = self.records["img_path"][i]
         if self.synthetic == "learnable":
             from mdcnet_tpu.data import synthetic as syn
-            rng = np.random.default_rng(i)
-            label = int(self.records["label"][i])
             box_img = syn.scale_box_to_image(self._boxes[i], self.native_size)
-            img = syn.render_defect_image(label, box_img, self.native_size,
-                                          rng)
+            cached = self._render_cache.get(i)
+            if cached is None:
+                rng = np.random.default_rng(i)
+                label = int(self.records["label"][i])
+                cached = syn.render_defect_image(label, box_img,
+                                                 self.native_size, rng)
+                self._render_cache[i] = cached
+            img = cached
             # geometry source is the rendered box (canvas-scaled), so pixels
             # and tokens agree exactly
             src_box = box_img
