@@ -144,6 +144,10 @@ class TrainConfig:
     # the reference (no gradient).  If False, use the differentiable
     # expected-coordinate box loss instead.
     replicate_nondiff_giou: bool = True
+    # Sampled train-time metric battery: every Nth train batch also runs
+    # the eval decode for train BLEU + mAP (0 = off; reference computes
+    # them every batch, train_val_epoch.py:81-231)
+    train_metrics_every: int = 0
     # Gradient accumulation: optimizer applies every N micro-batches
     # (effective batch = N * batch_size); 1 = reference behavior
     grad_accum_steps: int = 1

@@ -74,16 +74,55 @@ class Trainer:
                             motion_p=self.cfg.data.motion_blur_p)
         return images, tokens
 
-    def train_epoch(self, state: TrainState, loader) -> Dict[str, float]:
+    def train_epoch(self, state: TrainState, loader, tokenizer=None
+                    ) -> Dict[str, float]:
+        """Training epoch.  With a tokenizer and
+        cfg.train.train_metrics_every = N > 0, every Nth batch also runs the
+        eval decode and folds sampled train-time BLEU + mAP@0.3 into the
+        epoch metrics — a sampled version of the reference's per-batch
+        train mAP/BLEU (train_val_epoch.py:81-231).
+        """
         meters: Dict[str, AvgMeter] = {}
-        for batch in loader:
+        every = getattr(self.cfg.train, "train_metrics_every", 0)
+        map_metric = None
+        if tokenizer is not None and every > 0:
+            from mdcnet_tpu.evals import MeanAveragePrecision
+            map_metric = MeanAveragePrecision(iou_threshold=0.3)
+        for b, batch in enumerate(loader):
             images, tokens = self._prep(batch, train=True)
             state, metrics = self.train_step(state, images, tokens)
             n = batch.images.shape[0]
             for k, v in metrics.items():
                 meters.setdefault(k, AvgMeter(k)).update(float(v), n)
+            if map_metric is not None and b % every == 0:
+                _, aux = self.eval_step(state, images, tokens)
+                self._update_battery(meters, map_metric, aux, tokenizer, n)
         self.state = state
-        return {k: m.avg for k, m in meters.items()}
+        out = {k: m.avg for k, m in meters.items()}
+        if map_metric is not None:
+            out["map@0.3"] = map_metric.compute()["map"]
+        return out
+
+    @staticmethod
+    def _update_battery(meters, map_metric, aux, tokenizer, n) -> None:
+        """Fold one batch's decoded products into BLEU meter + mAP state."""
+        from mdcnet_tpu.evals import calculate_bleu_scores
+        sampled = np.asarray(aux["sampled"])
+        gt_tokens = np.asarray(aux["gt_tokens"])
+        pb, pl = np.asarray(aux["pred_boxes"]), np.asarray(aux["pred_labels"])
+        ps, pc = np.asarray(aux["pred_scores"]), np.asarray(aux["pred_count"])
+        gb, gl = np.asarray(aux["gt_boxes"]), np.asarray(aux["gt_labels"])
+        gc = np.asarray(aux["gt_count"])
+        for i in range(n):
+            ref = tokenizer.decode_captions(gt_tokens[i]).tolist()
+            hyp = tokenizer.decode_captions(sampled[i]).tolist()
+            meters.setdefault("bleu", AvgMeter("bleu")).update(
+                calculate_bleu_scores([ref], [hyp])[0])
+            n_p, n_g = int(pc[i]), int(gc[i])
+            map_metric.update(
+                [{"boxes": pb[i][:n_p], "scores": ps[i][:n_p],
+                  "labels": pl[i][:n_p]}],
+                [{"boxes": gb[i][:n_g], "labels": gl[i][:n_g]}])
 
     def valid_epoch(self, state: TrainState, loader, tokenizer=None,
                     class_metrics: bool = True) -> Dict[str, float]:
@@ -110,22 +149,7 @@ class Trainer:
                 meters.setdefault(k, AvgMeter(k)).update(val, n)
             if tokenizer is None:
                 continue
-            sampled = np.asarray(aux["sampled"])
-            gt_tokens = np.asarray(aux["gt_tokens"])
-            pb, pl = np.asarray(aux["pred_boxes"]), np.asarray(aux["pred_labels"])
-            ps, pc = np.asarray(aux["pred_scores"]), np.asarray(aux["pred_count"])
-            gb, gl = np.asarray(aux["gt_boxes"]), np.asarray(aux["gt_labels"])
-            gc = np.asarray(aux["gt_count"])
-            for i in range(n):
-                ref = tokenizer.decode_captions(gt_tokens[i]).tolist()
-                hyp = tokenizer.decode_captions(sampled[i]).tolist()
-                meters.setdefault("bleu", AvgMeter("bleu")).update(
-                    calculate_bleu_scores([ref], [hyp])[0])
-                n_p, n_g = int(pc[i]), int(gc[i])
-                map_metric.update(
-                    [{"boxes": pb[i][:n_p], "scores": ps[i][:n_p],
-                      "labels": pl[i][:n_p]}],
-                    [{"boxes": gb[i][:n_g], "labels": gl[i][:n_g]}])
+            self._update_battery(meters, map_metric, aux, tokenizer, n)
         out = {k: m.avg for k, m in meters.items()}
         if map_metric is not None:
             scores = map_metric.compute()
@@ -144,7 +168,8 @@ class Trainer:
         epochs = epochs or self.cfg.train.epochs
         patience = self.cfg.train.patience
         for epoch in range(epochs):
-            train_metrics = self.train_epoch(state, train_loader)
+            train_metrics = self.train_epoch(state, train_loader,
+                                             tokenizer=tokenizer)
             state = self.state
             valid_metrics = self.valid_epoch(state, valid_loader,
                                              tokenizer=tokenizer)

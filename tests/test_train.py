@@ -222,3 +222,34 @@ class TestGradAccum:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-5,
                 err_msg=jax.tree_util.keystr(pa))
+
+
+class TestTrainEpochSampledBattery:
+    def test_train_epoch_reports_sampled_bleu_and_map(self):
+        """train_metrics_every=1 folds sampled train-time BLEU + mAP@0.3
+        into the training epoch metrics (sampled version of the reference's
+        per-batch train battery, train_val_epoch.py:81-231)."""
+        import dataclasses
+        from mdcnet_tpu.data.pipeline import make_loaders
+        from mdcnet_tpu.train.loop import Trainer
+        from tests.test_pipeline import synthetic_records
+        from tests.test_text import make_tokenizer
+
+        cfg = test_preset()
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, batch_size=4),
+            train=dataclasses.replace(cfg.train, train_metrics_every=1))
+        rec = synthetic_records(24)
+        tok = make_tokenizer(max_len=cfg.data.max_len)
+        train_loader, _, _ = make_loaders(rec, tok, cfg.data,
+                                          synthetic_images=True)
+        model = build_model(cfg.model)
+        rng = jax.random.PRNGKey(0)
+        state = create_train_state(
+            model, cfg, rng,
+            jnp.zeros((4, cfg.data.img_size, cfg.data.img_size, 3)),
+            jnp.zeros((4, cfg.data.max_len - 1), jnp.int32))
+        trainer = Trainer(model, cfg)
+        out = trainer.train_epoch(state, train_loader, tokenizer=tok)
+        for key in ("ce_loss", "bleu", "map@0.3"):
+            assert key in out, key
