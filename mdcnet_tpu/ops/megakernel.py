@@ -208,11 +208,18 @@ def _mm(a_f32, w_ref, b_ref):
 
 
 def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
-                 mem_len, mem_pad, sc_mem, chunk, ffn_dim, dim,
-                 self_buckets):
-    """Builds the kernel body closed over static geometry."""
+                 mem_len, mem_pad, sc_mem, chunk, ffn_dim, dim, fast_ext):
+    """Builds the kernel body closed over static geometry.
+
+    ``fast_ext``: while pos < fast_ext, self-attention runs a ONE-SHOT
+    per-layer path — a single DMA of the cache's first fast_ext slots and
+    one whole-batch dot pair — instead of the chunk loop.  Per-dot fixed
+    cost (~10 us, docs/PERF.md) makes many small dots the v1 bottleneck;
+    GC10 sequences are ~10-21 tokens so almost every real decode step takes
+    this path."""
     n_chunks = batch // chunk
     n = chunk * heads  # attention rows per chunk
+    nb = batch * heads
     scale = head_dim ** -0.5
 
     def kernel(pos_ref,
@@ -221,7 +228,8 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
                sk_hbm, sks_hbm, sv_hbm, svs_hbm,
                mk_hbm, mks_hbm, mv_hbm, mvs_hbm,
                x_out, k_out, ks_out, v_out, vs_out,
-               x_buf, qkv_buf, attn_buf, kbuf, ksbuf, vbuf, vsbuf, sems):
+               x_buf, qkv_buf, attn_buf, kbuf, ksbuf, vbuf, vsbuf, sems,
+               fkbuf, fksbuf, fvbuf, fvsbuf, fsems):
         layer = pl.program_id(0)
         pos = pos_ref[0]
 
@@ -230,6 +238,28 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
             x_buf[:] = x_in[:]
 
         x = x_buf[:]
+
+        fast = pos < fast_ext
+
+        def fast_dma():
+            return [
+                pltpu.make_async_copy(
+                    sk_hbm.at[layer, :, :, pl.ds(0, fast_ext)],
+                    fkbuf, fsems.at[0]),
+                pltpu.make_async_copy(sks_hbm.at[layer], fksbuf,
+                                      fsems.at[1]),
+                pltpu.make_async_copy(
+                    sv_hbm.at[layer, :, :, pl.ds(0, fast_ext)],
+                    fvbuf, fsems.at[2]),
+                pltpu.make_async_copy(svs_hbm.at[layer], fvsbuf,
+                                      fsems.at[3]),
+            ]
+
+        # overlap the fast-path cache fetch with the qkv projection
+        @pl.when(fast)
+        def _():
+            for d in fast_dma():
+                d.start()
 
         # ---- fused qkv projection (full batch on the MXU) ---- #
         qkv_buf[:] = _mm(x, wqkv, bqkv)
@@ -338,20 +368,51 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
                     o = o + w_cur * vc3
                 attn_buf[c * chunk:(c + 1) * chunk, :] = o.reshape(chunk, dim)
 
-        # self-attention with position-bucketed extent: early steps only
-        # touch the live prefix of the cache.  Current-token K/V enter
-        # dequantized (same values future steps will read from the cache).
+        # self-attention.  Current-token K/V enter dequantized (the same
+        # values future steps will read back from the cache).
         cur = (k8.astype(jnp.float32) * k_sc, v8.astype(jnp.float32) * v_sc)
-        for i, bucket in enumerate(self_buckets):
-            lo = 0 if i == 0 else self_buckets[i - 1]
-            is_last = i == len(self_buckets) - 1
-            in_bucket = (pos >= lo) & (pos < bucket) if not is_last \
-                else (pos >= lo)
 
-            @pl.when(in_bucket)
-            def _(bucket=bucket):
+        @pl.when(fast)
+        def _():
+            # one-shot path: whole-batch dot pair over the first fast_ext
+            # cache slots (DMA'd at kernel entry)
+            for d in fast_dma():
+                d.wait()
+            kcur_d, vcur_d = cur
+            qc = q_s.reshape(nb, 1, head_dim).astype(jnp.bfloat16)
+            kc = fkbuf[:].reshape(nb, fast_ext, head_dim
+                                  ).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                qc, kc, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # (nb, 1, fast)
+            ksc = fksbuf[:].reshape(nb, 1, -1)[:, :, :fast_ext]
+            s = s * (scale * ksc)
+            l_ids = jax.lax.broadcasted_iota(jnp.int32, (nb, 1, fast_ext), 2)
+            valid = l_ids < pos
+            s = jnp.where(valid, s, NEG_INF)
+            kc3 = kcur_d.reshape(nb, 1, head_dim).astype(jnp.bfloat16)
+            s_cur = jax.lax.dot_general(
+                qc, kc3, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * scale   # (nb, 1, 1)
+            m = jnp.maximum(jnp.max(s, -1, keepdims=True), s_cur)
+            e = jnp.exp(s - m)
+            e_cur = jnp.exp(s_cur - m)
+            denom = jnp.sum(e, -1, keepdims=True) + e_cur
+            vsc = fvsbuf[:].reshape(nb, 1, -1)[:, :, :fast_ext]
+            wv = jnp.where(valid, (e / denom) * vsc, 0.0)
+            vc = fvbuf[:].reshape(nb, fast_ext, head_dim
+                                  ).astype(jnp.bfloat16)
+            o = jax.lax.dot_general(
+                wv.astype(jnp.bfloat16), vc, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)       # (nb, 1, Dh)
+            o = o + (e_cur / denom) * vcur_d.reshape(nb, 1, head_dim)
+            attn_buf[:] = o.reshape(batch, dim)
+
+        if cache_len > fast_ext:
+            @pl.when(jnp.logical_not(fast))
+            def _():
                 attend(q_s, sk_hbm, sks_hbm, sv_hbm, svs_hbm,
-                       min(bucket, cache_len), pos, cur=cur)
+                       cache_len, pos, cur=cur)
 
         x = _ln(x + _mm(attn_buf[:], wo_s, bo_s), ln[0, 0], ln[0, 1])
 
@@ -376,7 +437,7 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
 def fused_decode_step(weights: StackedDecoder, x: jnp.ndarray,
                       self_kv: StackedKV, mem_kv: StackedKV, pos,
                       *, num_layers: int, heads: int, mem_len: int,
-                      chunk: int = 32, interpret: Optional[bool] = None):
+                      chunk: int = 64, interpret: Optional[bool] = None):
     """One decode step for the whole decoder stack.
 
     x: (B, D) f32 embedded current token (+ positional embedding).
@@ -397,15 +458,13 @@ def fused_decode_step(weights: StackedDecoder, x: jnp.ndarray,
     assert b % chunk == 0, (b, chunk)
     n = chunk * heads
 
-    # static self-extent buckets (multiples of the sublane granularity)
-    buckets = [32, 64, cache_len]
-    buckets = sorted({min(bb, cache_len) for bb in buckets})
+    fast_ext = min(32, cache_len)  # sublane-aligned one-shot self extent
 
     kernel = _make_kernel(
         num_layers=num_layers, batch=b, heads=heads, head_dim=head_dim,
         cache_len=cache_len, sc_self=self_kv.k_scale.shape[3],
         mem_len=mem_len, mem_pad=mem_pad, sc_mem=mem_kv.k_scale.shape[3],
-        chunk=chunk, ffn_dim=ffn_dim, dim=dim, self_buckets=buckets)
+        chunk=chunk, ffn_dim=ffn_dim, dim=dim, fast_ext=fast_ext)
 
     L = num_layers
     w = weights
@@ -455,6 +514,12 @@ def fused_decode_step(weights: StackedDecoder, x: jnp.ndarray,
                         max(mem_kv.k_scale.shape[3],
                             self_kv.k_scale.shape[3])), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 4)),
+            # fast-path whole-batch self buffers (first fast_ext slots)
+            pltpu.VMEM((b, heads, fast_ext, head_dim), jnp.int8),
+            pltpu.VMEM((b, heads, self_kv.k_scale.shape[3]), jnp.float32),
+            pltpu.VMEM((b, heads, fast_ext, head_dim), jnp.int8),
+            pltpu.VMEM((b, heads, self_kv.k_scale.shape[3]), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
     )
 

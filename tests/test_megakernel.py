@@ -95,8 +95,8 @@ def mirror_step(w: mk.StackedDecoder, x, self_kv: mk.StackedKV,
         k8, ksc = mk._rowquant(k_new.reshape(B * H, DH))
         v8, vsc = mk._rowquant(v_new.reshape(B * H, DH))
         outs.append((k8, ksc, v8, vsc))
-        extent = CACHE if pos >= 64 else (64 if pos >= 32 else 32)
-        extent = min(extent, CACHE)
+        fast_ext = min(32, CACHE)
+        extent = fast_ext if pos < fast_ext else CACHE
         attn = mirror_attend(q, self_kv.k[l], self_kv.k_scale[l],
                              self_kv.v[l], self_kv.v_scale[l],
                              extent, pos, cur=(k8, ksc, v8, vsc))
@@ -202,3 +202,14 @@ def test_cache_update_roundtrip():
     assert int(out.v[0, 0, 0, 3, 0]) == 7
     assert float(out.k_scale[1, 2, 1, 3]) == 0.5
     assert int(out.k[0, 0, 0, 2, 0]) == 0
+
+
+def test_fused_step_slow_path_matches_mirror():
+    """pos >= fast_ext exercises the chunked full-extent self fallback."""
+    global CACHE
+    old = CACHE
+    CACHE = 48
+    try:
+        test_fused_step_matches_mirror(40)
+    finally:
+        CACHE = old
