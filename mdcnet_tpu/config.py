@@ -98,6 +98,7 @@ class ModelConfig:
     enc_layerscale_init: float = 1e-6
     enc_out_dim: int = 1024        # bottleneck AdaptiveAvgPool1d target (model.py:19)
     enc_cls_token: bool = True     # streaming (context-parallel) config: False
+    enc_gelu_approx: bool = False  # tanh GELU in encoder MLPs (serving knob)
     # decoder
     vocab_size: int = 332          # len(word vocab)=27 + code vocab 305 (trail_01.py:114)
     dec_dim: int = 1024

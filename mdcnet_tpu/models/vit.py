@@ -69,6 +69,8 @@ class ViTBlock(nn.Module):
     layerscale_init: float = 1e-6
     ring_axis: Optional[str] = None
     use_flash: bool = False
+    gelu_approx: bool = False  # tanh-approx GELU (serving knob; exact erf
+    # matches timm/torch bit-for-bit and stays the parity default)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -88,7 +90,7 @@ class ViTBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-6, **kw, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), **kw, name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)
+        h = nn.gelu(h, approximate=self.gelu_approx)
         h = nn.Dense(self.dim, **kw, name="mlp_fc2")(h)
         return x + h * ls("gamma2")
 
@@ -117,6 +119,7 @@ class ViTEncoder(nn.Module):
     use_cls_token: bool = True
     ring_axis: Optional[str] = None
     use_flash: bool = False  # Pallas blockwise attention in the blocks
+    gelu_approx: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -138,7 +141,8 @@ class ViTEncoder(nn.Module):
         self.blocks = [ViTBlock(self.dim, self.num_heads, self.mlp_ratio,
                                 self.layerscale_init,
                                 ring_axis=self.ring_axis,
-                                use_flash=self.use_flash, **kw,
+                                use_flash=self.use_flash,
+                                gelu_approx=self.gelu_approx, **kw,
                                 name=f"block{i}")
                        for i in range(self.depth)]
         self.norm = nn.LayerNorm(epsilon=1e-6, **kw)
