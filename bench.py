@@ -84,9 +84,14 @@ def main():
         jax.random.PRNGKey(0),
         (batch, cfg.data.img_size, cfg.data.img_size, 3), jnp.float32)
 
+    # serving path: XLA bf16 decode by default; MDCNET_BENCH_MEGAKERNEL=1
+    # switches to the whole-step int8 pallas kernel (ops/megakernel.py)
+    use_mk = os.environ.get("MDCNET_BENCH_MEGAKERNEL", "0") == "1"
+
     def run(key):
         return generate(model, params, images, key, steps=steps,
-                        greedy=True, early_exit=True).tokens
+                        greedy=True, early_exit=True,
+                        use_megakernel=use_mk).tokens
 
     np.asarray(run(jax.random.PRNGKey(2)))  # compile + warm
 
