@@ -255,7 +255,9 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
                                       fsems.at[3]),
             ]
 
-        # overlap the fast-path cache fetch with the qkv projection
+        # overlap the fast-path cache fetch with the qkv projection, and
+        # prefetch the first cross-attention chunk behind self-attention
+        # (distinct buffers on the fast path)
         @pl.when(fast)
         def _():
             for d in fast_dma():
@@ -288,17 +290,23 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
                 hbm.at[layer, pl.ds(lo, chunk)],
                 buf.at[slot, :, :, pl.ds(0, sc)], sem)
 
+        def chunk_dma_start(k_hbm, ks_hbm, v_hbm, vs_hbm, extent, c, slot):
+            dma(k_hbm, kbuf, sems.at[slot, 0], c, slot, extent).start()
+            dma_scales(ks_hbm, ksbuf, sems.at[slot, 1], c, slot).start()
+            dma(v_hbm, vbuf, sems.at[slot, 2], c, slot, extent).start()
+            dma_scales(vs_hbm, vsbuf, sems.at[slot, 3], c, slot).start()
+
         def attend(q_rows, k_hbm, ks_hbm, v_hbm, vs_hbm, extent, limit,
-                   cur=None):
+                   cur=None, skip_first_start=None):
             """q_rows: (B, D) f32.  extent: static number of key positions
             DMA'd and dotted.  limit: traced valid-key bound.  cur: optional
             (k8, k_sc, v8, v_sc) current-token K/V rows.
+            ``skip_first_start``: traced bool — chunk 0's DMA was already
+            issued by the caller (cross prefetch overlapping self-attention).
             Returns (B, D) f32 into attn_buf."""
             def start(c, slot):
-                dma(k_hbm, kbuf, sems.at[slot, 0], c, slot, extent).start()
-                dma_scales(ks_hbm, ksbuf, sems.at[slot, 1], c, slot).start()
-                dma(v_hbm, vbuf, sems.at[slot, 2], c, slot, extent).start()
-                dma_scales(vs_hbm, vsbuf, sems.at[slot, 3], c, slot).start()
+                chunk_dma_start(k_hbm, ks_hbm, v_hbm, vs_hbm, extent, c,
+                                slot)
 
             def wait(c, slot):
                 dma(k_hbm, kbuf, sems.at[slot, 0], c, slot, extent).wait()
@@ -306,7 +314,12 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
                 dma(v_hbm, vbuf, sems.at[slot, 2], c, slot, extent).wait()
                 dma_scales(vs_hbm, vsbuf, sems.at[slot, 3], c, slot).wait()
 
-            start(0, 0)
+            if skip_first_start is None:
+                start(0, 0)
+            else:
+                @pl.when(jnp.logical_not(skip_first_start))
+                def _():
+                    start(0, 0)
             # all row tensors stay 3D (n, 1, lanes): Mosaic supports
             # middle-1 inserts/merges only when the lane dim is 128-aligned,
             # and batched dots only with non-degenerate lhs specs — 3D
@@ -368,6 +381,12 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
                     o = o + w_cur * vc3
                 attn_buf[c * chunk:(c + 1) * chunk, :] = o.reshape(chunk, dim)
 
+        # cross chunk 0 prefetch: rides behind the fast self-attention path
+        # (which uses its own fkbuf buffers)
+        @pl.when(fast)
+        def _():
+            chunk_dma_start(mk_hbm, mks_hbm, mv_hbm, mvs_hbm, mem_pad, 0, 0)
+
         # self-attention.  Current-token K/V enter dequantized (the same
         # values future steps will read back from the cache).
         cur = (k8.astype(jnp.float32) * k_sc, v8.astype(jnp.float32) * v_sc)
@@ -418,7 +437,7 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
 
         q_c = _mm(x, wq_c, bq_c)
         attend(q_c, mk_hbm, mks_hbm, mv_hbm, mvs_hbm, mem_pad,
-               jnp.int32(mem_len))
+               jnp.int32(mem_len), skip_first_start=fast)
         x = _ln(x + _mm(attn_buf[:], wo_c, bo_c), ln[0, 2], ln[0, 3])
 
         ff = jnp.maximum(_mm(x, w1, b1), 0.0)
