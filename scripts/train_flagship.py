@@ -49,6 +49,8 @@ def main():
                     help="continue from the latest checkpoint in --out")
     ap.add_argument("--skip-quality", action="store_true",
                     help="skip the post-training quality measurement")
+    ap.add_argument("--max-lr", type=float, default=0.0,
+                    help="override the cyclic LR ceiling (0 = preset)")
     args = ap.parse_args()
 
     from mdcnet_tpu import config as C
@@ -65,6 +67,9 @@ def main():
            "test": C.test_preset}[args.preset]()
     cfg = cfg.replace(data=dataclasses.replace(cfg.data,
                                                batch_size=args.batch))
+    if args.max_lr:
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    max_lr=args.max_lr))
     if args.pretrained:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, pretrained_path=args.pretrained))
