@@ -67,7 +67,7 @@ def ring_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 def context_parallel_call(fn: Callable, mesh: Mesh, seq_axis: int = 1):
     """shard_map ``fn(x) -> y`` with batch over ``data`` and the sequence
     dimension over ``context``; all other dims replicated."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     def spec_for(rank):
         parts = [None] * rank
@@ -78,7 +78,7 @@ def context_parallel_call(fn: Callable, mesh: Mesh, seq_axis: int = 1):
     def wrapped(x):
         spec = spec_for(x.ndim)
         return shard_map(fn, mesh=mesh, in_specs=(spec,), out_specs=spec,
-                         check_rep=False)(x)
+                         check_vma=False)(x)
 
     return wrapped
 
@@ -86,7 +86,7 @@ def context_parallel_call(fn: Callable, mesh: Mesh, seq_axis: int = 1):
 def context_sharded_attention(mesh: Mesh):
     """Returns an attention fn (B, H, L, D)³ -> (B, H, L, D) that runs
     ring attention with L sharded over the context axis."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n = mesh.shape["context"]
     spec = P("data", None, "context", None)
@@ -95,4 +95,4 @@ def context_sharded_attention(mesh: Mesh):
         return ring_attention(q, k, v, axis_name="context", axis_size=n)
 
     return shard_map(inner, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)
+                     out_specs=spec, check_vma=False)

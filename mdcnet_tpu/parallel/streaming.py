@@ -20,7 +20,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mdcnet_tpu.models.vit import ViTEncoder
@@ -64,7 +64,7 @@ def _encode_fn(encoder: ViTEncoder, mesh: Mesh):
 
     sharded_blocks = shard_map(blocks_local, mesh=mesh,
                                in_specs=(P(), spec), out_specs=spec,
-                               check_rep=False)
+                               check_vma=False)
 
     @jax.jit
     def encode(p, imgs):
@@ -113,7 +113,7 @@ def make_context_parallel_apply(model, mesh: Mesh, remat: bool = True):
         blocks_local = jax.checkpoint(blocks_local)
     sharded_blocks = shard_map(blocks_local, mesh=mesh,
                                in_specs=(P(), spec), out_specs=spec,
-                               check_rep=False)
+                               check_vma=False)
 
     def apply_fn(variables, images, tgt, deterministic: bool = True,
                  rngs=None):
