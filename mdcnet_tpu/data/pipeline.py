@@ -75,6 +75,34 @@ class SteelDefectDataset:
         # single-core host time otherwise)
         self._render_cache = {} if synthetic_images == "learnable" else None
 
+    def prefill_render_cache(self, use_native: bool = True) -> int:
+        """Render every learnable-synthetic image up front in ONE call to
+        the native C++ renderer (mdcnet_tpu/native, ~10-30x the numpy path
+        on one core).  Returns the number of images rendered; falls back to
+        nothing (lazy numpy rendering) when the native tier is unavailable.
+
+        NB: native noise is statistics-equivalent, not bit-identical, to
+        the numpy renderer — prefill BEFORE first use so the cache is
+        consistent for the whole run.
+        """
+        if self._render_cache is None or self._render_cache:
+            return 0
+        from mdcnet_tpu import native
+        from mdcnet_tpu.data import synthetic as syn
+        if not (use_native and native.available()):
+            return 0
+        idx = list(range(len(self)))
+        labels = np.asarray([int(self.records["label"][i]) - syn.LABEL_START
+                             for i in idx], np.int32)
+        boxes = native.scale_boxes(
+            np.asarray([self._boxes[i] for i in idx], np.float32),
+            syn.CANVAS_W, syn.CANVAS_H, float(self.native_size))
+        seeds = np.asarray(idx, np.uint64)
+        imgs = native.render_defects(labels, boxes, seeds, self.native_size)
+        for j, i in enumerate(idx):
+            self._render_cache[i] = imgs[j]
+        return len(idx)
+
     def __len__(self) -> int:
         return ann.num_rows(self.records)
 

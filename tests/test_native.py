@@ -86,3 +86,25 @@ class TestRenderDefects:
                                     np.random.default_rng(i))
         t_py = time.perf_counter() - t0
         assert t_native < t_py, (t_native, t_py)
+
+
+class TestPipelinePrefill:
+    def test_prefill_render_cache(self):
+        from mdcnet_tpu.config import test_preset
+        from mdcnet_tpu.data.pipeline import SteelDefectDataset
+        from tests.test_pipeline import synthetic_records
+        from tests.test_text import make_tokenizer
+
+        cfg = test_preset()
+        rec = synthetic_records(12)
+        tok = make_tokenizer(max_len=cfg.data.max_len)
+        ds = SteelDefectDataset(rec, tok, cfg.data,
+                                synthetic_images="learnable")
+        n = ds.prefill_render_cache()
+        assert n == len(ds) > 0
+        ex = ds.example(0)
+        assert ex is not None
+        img = ex[0]
+        assert img.shape[2] == 3
+        # second prefill is a no-op
+        assert ds.prefill_render_cache() == 0
