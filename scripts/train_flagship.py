@@ -51,6 +51,10 @@ def main():
                     help="skip the post-training quality measurement")
     ap.add_argument("--max-lr", type=float, default=0.0,
                     help="override the cyclic LR ceiling (0 = preset)")
+    ap.add_argument("--pos-dropout", type=float, default=-1.0,
+                    help="override decoder pos dropout (reference: 0.4)")
+    ap.add_argument("--layer-dropout", type=float, default=-1.0)
+    ap.add_argument("--patch-dropout", type=float, default=-1.0)
     args = ap.parse_args()
 
     from mdcnet_tpu import config as C
@@ -70,6 +74,20 @@ def main():
     if args.max_lr:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train,
                                                     max_lr=args.max_lr))
+    # dropout overrides: the post-norm stack trained at the reference's 0.4
+    # elementwise dropout sees ~1.3x larger activation variance than at
+    # eval; on the synthetic task the model co-adapts and deterministic
+    # inference collapses (docs/PERF.md round-2 notes) — the convergence
+    # run recalibrates with low dropout
+    mo = {}
+    if args.pos_dropout >= 0:
+        mo["dec_pos_dropout"] = args.pos_dropout
+    if args.layer_dropout >= 0:
+        mo["dec_layer_dropout"] = args.layer_dropout
+    if args.patch_dropout >= 0:
+        mo["patch_dropout_rate"] = args.patch_dropout
+    if mo:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model, **mo))
     if args.pretrained:
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, pretrained_path=args.pretrained))
