@@ -145,6 +145,12 @@ class TrainConfig:
     # the reference (no gradient).  If False, use the differentiable
     # expected-coordinate box loss instead.
     replicate_nondiff_giou: bool = True
+    # The reference double-prepends BOS (sequences start with BOS AND the
+    # forward prepends one), so its teacher forcing trains a skip-one
+    # predictor (docs/PARITY.md divergence 9).  True drops the duplicate
+    # BOS so training matches the generation convention; False replicates
+    # the reference exactly.
+    aligned_targets: bool = True
     # Sampled train-time metric battery: every Nth train batch also runs
     # the eval decode for train BLEU + mAP (0 = off; reference computes
     # them every batch, train_val_epoch.py:81-231)

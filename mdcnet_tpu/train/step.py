@@ -6,10 +6,20 @@ loss, composite loss, backward, AdamW update — no host round-trips.  The
 reference runs the same logic as ~15 separate host-synced stages per batch
 (train_val_epoch.py:50-384, SURVEY §3.2).
 
-Step semantics preserved:
-  y_input = y[:, :-1]; y_expected = y[:, 1:]; preds = model(x, y_input)[:, :-1]
-  (train_val_epoch.py:52-59) — the model prepends BOS so logits align with
-  y_expected.
+Target alignment (cfg.train.aligned_targets):
+  The reference slices ``y_input = y[:, :-1]`` while its sequences already
+  START with BOS and its forward prepends ANOTHER BOS
+  (data_processing.py:273, model.py:60-61, train_val_epoch.py:52-59) —
+  output position j last sees y[j-1] but is paired with target y[j+1], so
+  teacher forcing trains a skip-one predictor; autoregressive generation
+  under any consistent convention then emits every other token unless the
+  model falls back to position-keyed addressing.  With
+  ``aligned_targets=True`` (default) the duplicate BOS is dropped:
+  ``y_input = y[:, 1:-1]`` (forward still prepends BOS), logits are NOT
+  shifted, and position j (last sees y[j]) predicts y[j+1] — the
+  convention the generation paths already implement.
+  ``aligned_targets=False`` replicates the reference bit-for-bit
+  (docs/PARITY.md divergence 9).
 """
 from __future__ import annotations
 
@@ -68,6 +78,7 @@ def make_train_step(model, cfg, apply_fn=None):
     training.  Same signature as model.apply.
     """
     model_apply = apply_fn if apply_fn is not None else model.apply
+    aligned = getattr(cfg.train, "aligned_targets", True)
     tx = make_optimizer(cfg.train)
     num_bins = cfg.data.num_bins
     width = height = cfg.data.img_size
@@ -76,11 +87,12 @@ def make_train_step(model, cfg, apply_fn=None):
     replicate = cfg.train.replicate_nondiff_giou
 
     def loss_fn(params, images, y, rngs):
-        y_input = y[:, :-1]
+        y_input = y[:, 1:-1] if aligned else y[:, :-1]
         y_expected = y[:, 1:]
         logits = model_apply({"params": params}, images, y_input,
                              deterministic=False, rngs=rngs)
-        logits = logits[:, :-1]  # drop final step (train_val_epoch.py:59)
+        if not aligned:
+            logits = logits[:, :-1]  # drop final step (train_val_epoch.py:59)
 
         # top-k sample the predicted sequence for box decode
         # (train_val_epoch.py:172-179 uses k=10 with scores)
@@ -154,11 +166,12 @@ def make_train_step(model, cfg, apply_fn=None):
         driver needs for the reference's validation BLEU and per-epoch /
         per-class mAP (train_val_epoch.py:477-518,630-665).
         """
-        y_input = y[:, :-1]
+        y_input = y[:, 1:-1] if aligned else y[:, :-1]
         y_expected = y[:, 1:]
         logits = model_apply(state.params, images, y_input,
                              deterministic=True)
-        logits = logits[:, :-1]
+        if not aligned:
+            logits = logits[:, :-1]
         sampled = jnp.argmax(logits, axis=-1)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         scores = jnp.take_along_axis(probs, sampled[..., None], axis=-1)[..., 0]
