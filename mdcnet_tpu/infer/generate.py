@@ -201,7 +201,7 @@ def generate_from_memory(model, params, encoder_out: jnp.ndarray,
 
 def _generate_megakernel(model, params, encoder_out, rng, steps, top_k,
                          top_p, greedy, conf_every, temperature, early_exit,
-                         chunk: int = 64):
+                         chunk: int = 32):
     """KV-cached generation where each decode step is ONE pallas_call over
     the whole decoder stack with int8 K/V streaming (ops/megakernel.py).
     Sampling semantics identical to generate_from_memory."""

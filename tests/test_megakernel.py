@@ -90,12 +90,15 @@ def mirror_step(w: mk.StackedDecoder, x, self_kv: mk.StackedKV,
             return jnp.dot(a.astype(jnp.bfloat16), wgt[l],
                            preferred_element_type=jnp.float32) + b[l]
 
-        qkv = mm(x, w.wqkv, w.bqkv)
+        qkv = mm(x, w.wqkv, w.bqkv).astype(jnp.bfloat16)  # kernel's bf16
+        # qkv scratch
         q, k_new, v_new = (qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:])
-        k8, ksc = mk._rowquant(k_new.reshape(B * H, DH))
-        v8, vsc = mk._rowquant(v_new.reshape(B * H, DH))
+        k8, ksc = mk._rowquant(
+            k_new.reshape(B * H, DH).astype(jnp.float32))
+        v8, vsc = mk._rowquant(
+            v_new.reshape(B * H, DH).astype(jnp.float32))
         outs.append((k8, ksc, v8, vsc))
-        fast_ext = min(32, CACHE)
+        fast_ext = min(24, CACHE)
         extent = fast_ext if pos < fast_ext else CACHE
         attn = mirror_attend(q, self_kv.k[l], self_kv.k_scale[l],
                              self_kv.v[l], self_kv.v_scale[l],
