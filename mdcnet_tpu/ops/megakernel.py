@@ -479,9 +479,10 @@ def fused_decode_step(weights: StackedDecoder, x: jnp.ndarray,
     assert b % chunk == 0, (b, chunk)
     n = chunk * heads
 
-    fast_ext = min(24, cache_len)  # sublane-aligned one-shot self extent
-    # (24 > GC10's ~21-token sequences, so every real decode step stays
-    # on the fast path; keeps total VMEM under the 128 MiB capacity)
+    fast_ext = min(16, cache_len)  # sublane-aligned one-shot self extent
+    # (GC10 sequences run ~21 tokens: steps 0-15 take the one-shot path,
+    # the tail falls back to the chunk loop; 16 keeps the whole kernel
+    # under the 128 MiB VMEM capacity at B=256)
 
     kernel = _make_kernel(
         num_layers=num_layers, batch=b, heads=heads, head_dim=head_dim,
