@@ -139,8 +139,13 @@ def cmd_infer(args):
                                      synthetic_images=args.synthetic_images)
     rng = jax.random.PRNGKey(0)
     params = None
-    id2cls = {c: tokenizer.vocab.itos.get(c, str(c))
-              for c in range(258, 268)}
+    if args.preset == "neu":
+        # NEU-DET labels are raw ids 0-5 (inference_p.py:22)
+        from mdcnet_tpu.config import NEU_CLASS_IDS
+        id2cls = {i: name for name, i in NEU_CLASS_IDS.items()}
+    else:
+        id2cls = {c: tokenizer.vocab.itos.get(c, str(c))
+                  for c in range(258, 268)}
     if args.save_overlays:
         os.makedirs(args.save_overlays, exist_ok=True)
     img_idx = 0
@@ -203,15 +208,22 @@ def cmd_eval(args):
                             cfg.data.img_size, train=False)
         if params is None:
             params = _init_params(model, cfg, images, args.checkpoint)
+        # conf_every=1 keeps every step's top-1 probability so detections
+        # can be score-ranked by coordinate-token probability like
+        # decode_bboxes_and_labels_with_scores (data_processing.py:601-666)
         res = generate(model, params, images, rng,
-                       steps=cfg.infer.generation_steps)
-        pred = decode_jax.decode_groups(res.tokens, max_groups=8)
+                       steps=cfg.infer.generation_steps, conf_every=1)
+        scores_full = jnp.concatenate(
+            [jnp.ones((images.shape[0], 1), jnp.float32), res.confs], axis=1)
+        pred = decode_jax.decode_groups(res.tokens, pred_scores=scores_full,
+                                        max_groups=8)
         gt = decode_jax.decode_groups(jnp.asarray(batch.tokens), max_groups=8)
         for i in range(images.shape[0]):
             n_p, n_g = int(pred.count[i]), int(gt.count[i])
             map_metric.update(
                 [{"boxes": np.asarray(pred.boxes[i][:n_p]),
-                  "scores": np.ones(n_p), "labels": np.asarray(pred.labels[i][:n_p])}],
+                  "scores": np.asarray(pred.scores[i][:n_p]),
+                  "labels": np.asarray(pred.labels[i][:n_p])}],
                 [{"boxes": np.asarray(gt.boxes[i][:n_g]),
                   "labels": np.asarray(gt.labels[i][:n_g])}])
             ref = tokenizer.decode_captions(batch.tokens[i]).tolist()

@@ -273,8 +273,17 @@ def make_loaders(records, tokenizer: SeqTokenizer, cfg: DataConfig,
     at cfg.batch_size; test at batch 2 (the reference hardcodes it)."""
     tr, va, te = three_way_split(ann.num_rows(records), cfg.valid_size,
                                  cfg.test_size, cfg.split_seed)
-    mk = lambda idx: SteelDefectDataset(ann.take(records, idx), tokenizer,
-                                        cfg, synthetic_images)
+
+    def mk(idx):
+        ds = SteelDefectDataset(ann.take(records, idx), tokenizer,
+                                cfg, synthetic_images)
+        # one C++ call renders the whole split before first use (the cache
+        # must be filled pre-use to stay consistent — see the method's NB);
+        # silently lazy when the native tier is unavailable
+        if synthetic_images == "learnable":
+            ds.prefill_render_cache()
+        return ds
+
     train = DataLoader(mk(tr), cfg.batch_size, shuffle=True,
                        seed=cfg.split_seed)
     valid = DataLoader(mk(va), cfg.batch_size, shuffle=False)

@@ -26,21 +26,33 @@ _lib: Optional[ctypes.CDLL] = None
 
 
 def _build() -> bool:
+    # -O3 without -march=native: the artifact may outlive the build host
+    # (a SIGILL on an older microarch is worse than a few % of throughput).
     src = os.path.join(_DIR, "dataio.cc")
     try:
-        subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
+        subprocess.run(["g++", "-O3", "-shared", "-fPIC",
                         src, "-o", _SO], check=True, capture_output=True)
         return True
     except (OSError, subprocess.CalledProcessError):
         return False
 
 
+def _stale() -> bool:
+    """True when dataio.cc is newer than the built library."""
+    try:
+        return os.path.getmtime(os.path.join(_DIR, "dataio.cc")) \
+            > os.path.getmtime(_SO)
+    except OSError:
+        return True
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO) and not _build():
-        return None
+    if (not os.path.exists(_SO) or _stale()) and not _build():
+        if not os.path.exists(_SO):
+            return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:

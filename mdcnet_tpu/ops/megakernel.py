@@ -53,20 +53,42 @@ LANE = 128
 # --------------------------------------------------------------------- #
 
 class StackedDecoder(NamedTuple):
-    """Per-layer decoder weights stacked on a leading layer axis."""
-    wqkv: jnp.ndarray    # (L, D, 3D) bf16: self q|k|v packed
+    """Per-layer decoder weights stacked on a leading layer axis.
+
+    Matmul weights are stored **int8 with per-output-channel scales** (v3):
+    the pipeline double-buffers each layer's weight block in VMEM, so bf16
+    blocks (20.8 MB/layer at the flagship geometry) cost 41.6 MB of VMEM and
+    overflow the 128 MiB budget; int8 halves both the VMEM footprint and the
+    ~166 MB/step HBM weight stream.  Values convert int8->bf16 exactly in
+    VMEM before the MXU dot (int8 dots crash this toolchain's Mosaic); the
+    per-column scale folds in after the f32-accumulated dot.
+    """
+    wqkv: jnp.ndarray    # (L, D, 3D) int8: self q|k|v packed
     bqkv: jnp.ndarray    # (L, 1, 3D) f32
-    wo_s: jnp.ndarray    # (L, D, D) bf16
+    wo_s: jnp.ndarray    # (L, D, D) int8
     bo_s: jnp.ndarray    # (L, 1, D) f32
-    wq_c: jnp.ndarray    # (L, D, D) bf16
+    wq_c: jnp.ndarray    # (L, D, D) int8
     bq_c: jnp.ndarray    # (L, 1, D) f32
-    wo_c: jnp.ndarray    # (L, D, D) bf16
+    wo_c: jnp.ndarray    # (L, D, D) int8
     bo_c: jnp.ndarray    # (L, 1, D) f32
-    w1: jnp.ndarray      # (L, D, F) bf16
+    w1: jnp.ndarray      # (L, D, F) int8
     b1: jnp.ndarray      # (L, 1, F) f32
-    w2: jnp.ndarray      # (L, F, D) bf16
+    w2: jnp.ndarray      # (L, F, D) int8
     b2: jnp.ndarray      # (L, 1, D) f32
     ln: jnp.ndarray      # (L, 8, D) f32: ln1 s,b | ln2 s,b | ln3 s,b | pad
+    wsc: jnp.ndarray     # (L, 8, W) f32 per-col weight scales, W =
+    #                      max(3D, F); rows: qkv|o_s|q_c|o_c|w1|w2|pad|pad
+
+
+def _colquant(w: jnp.ndarray, width: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-output-column int8 quant.  w: (L, K, N) f32 ->
+    (int8 (L, K, N), scales (L, N) f32 zero-padded to ``width``)."""
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=1)                     # (L, N)
+    scale = amax / 127.0
+    q = jnp.round(w / jnp.maximum(scale, 1e-12)[:, None, :])
+    pad = width - w.shape[2]
+    return q.astype(jnp.int8), jnp.pad(scale, ((0, 0), (0, pad)))
 
 
 def stack_decoder_weights(dec_params: Dict[str, Any], num_layers: int
@@ -79,9 +101,9 @@ def stack_decoder_weights(dec_params: Dict[str, Any], num_layers: int
             node = node[p]
         return jnp.asarray(node)
 
-    def stacked(*path, dtype=jnp.bfloat16):
+    def stacked(*path):
         return jnp.stack([get(i, *path) for i in range(num_layers)]
-                         ).astype(dtype)
+                         ).astype(jnp.float32)
 
     def stacked_bias(*path):
         return jnp.stack([get(i, *path) for i in range(num_layers)]
@@ -101,20 +123,36 @@ def stack_decoder_weights(dec_params: Dict[str, Any], num_layers: int
         d = rows[0].shape[0]
         rows += [jnp.zeros((d,), jnp.float32)] * 2
         ln_rows.append(jnp.stack([r.astype(jnp.float32) for r in rows]))
+    dim = wq.shape[1]
+    ffn_dim = get(0, "linear1", "kernel").shape[1]
+    width = max(3 * dim, ffn_dim)
+    qkv8, qkv_sc = _colquant(jnp.concatenate([wq, wk, wv], axis=-1), width)
+    wos8, wos_sc = _colquant(stacked("self_attn", "out_proj", "kernel"),
+                             width)
+    wqc8, wqc_sc = _colquant(stacked("cross_attn", "q_proj", "kernel"),
+                             width)
+    woc8, woc_sc = _colquant(stacked("cross_attn", "out_proj", "kernel"),
+                             width)
+    w18, w1_sc = _colquant(stacked("linear1", "kernel"), width)
+    w28, w2_sc = _colquant(stacked("linear2", "kernel"), width)
+    zero = jnp.zeros_like(qkv_sc)
+    wsc = jnp.stack([qkv_sc, wos_sc, wqc_sc, woc_sc, w1_sc, w2_sc,
+                     zero, zero], axis=1)                  # (L, 8, W)
     return StackedDecoder(
-        wqkv=jnp.concatenate([wq, wk, wv], axis=-1),
+        wqkv=qkv8,
         bqkv=jnp.concatenate([bq, bk, bv], axis=-1),
-        wo_s=stacked("self_attn", "out_proj", "kernel"),
+        wo_s=wos8,
         bo_s=stacked_bias("self_attn", "out_proj", "bias"),
-        wq_c=stacked("cross_attn", "q_proj", "kernel"),
+        wq_c=wqc8,
         bq_c=stacked_bias("cross_attn", "q_proj", "bias"),
-        wo_c=stacked("cross_attn", "out_proj", "kernel"),
+        wo_c=woc8,
         bo_c=stacked_bias("cross_attn", "out_proj", "bias"),
-        w1=stacked("linear1", "kernel"),
+        w1=w18,
         b1=stacked_bias("linear1", "bias"),
-        w2=stacked("linear2", "kernel"),
+        w2=w28,
         b2=stacked_bias("linear2", "bias"),
-        ln=jnp.stack(ln_rows))
+        ln=jnp.stack(ln_rows),
+        wsc=wsc)
 
 
 class StackedKV(NamedTuple):
@@ -200,11 +238,13 @@ def _ln(x, scale, bias, eps=1e-5):
     return xc * jax.lax.rsqrt(var + eps) * scale[None, :] + bias[None, :]
 
 
-def _mm(a_f32, w_ref, b_ref):
-    """(B, K) f32 @ (K, N) bf16 + (1, N) f32 -> (B, N) f32 on the MXU."""
-    y = jnp.dot(a_f32.astype(jnp.bfloat16), w_ref[0],
+def _mm(a_f32, w_ref, b_ref, sc):
+    """(B, K) f32 @ (K, N) int8 * sc (N,) f32 + (1, N) f32 -> (B, N) f32.
+    int8 values convert exactly to bf16 in VMEM; the per-column quant scale
+    folds in after the f32-accumulated MXU dot."""
+    y = jnp.dot(a_f32.astype(jnp.bfloat16), w_ref[0].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32)
-    return y + b_ref[0]
+    return y * sc[None, :] + b_ref[0]
 
 
 def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
@@ -224,7 +264,7 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
 
     def kernel(pos_ref,
                x_in, wqkv, bqkv, wo_s, bo_s, wq_c, bq_c, wo_c, bo_c,
-               w1, b1, w2, b2, ln,
+               w1, b1, w2, b2, ln, wsc,
                sk_hbm, sks_hbm, sv_hbm, svs_hbm,
                mk_hbm, mks_hbm, mv_hbm, mvs_hbm,
                x_out, k_out, ks_out, v_out, vs_out,
@@ -264,7 +304,8 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
                 d.start()
 
         # ---- fused qkv projection (full batch on the MXU) ---- #
-        qkv_buf[:] = _mm(x, wqkv, bqkv).astype(jnp.bfloat16)
+        qkv_buf[:] = _mm(x, wqkv, bqkv, wsc[0, 0, :3 * dim]
+                         ).astype(jnp.bfloat16)
         q_s = qkv_buf[:, :dim]
         k_new = qkv_buf[:, dim:2 * dim]
         v_new = qkv_buf[:, 2 * dim:]
@@ -435,15 +476,17 @@ def _make_kernel(*, num_layers, batch, heads, head_dim, cache_len, sc_self,
                 attend(q_s, sk_hbm, sks_hbm, sv_hbm, svs_hbm,
                        cache_len, pos, cur=cur)
 
-        x = _ln(x + _mm(attn_buf[:], wo_s, bo_s), ln[0, 0], ln[0, 1])
+        x = _ln(x + _mm(attn_buf[:], wo_s, bo_s, wsc[0, 1, :dim]),
+                ln[0, 0], ln[0, 1])
 
-        q_c = _mm(x, wq_c, bq_c)
+        q_c = _mm(x, wq_c, bq_c, wsc[0, 2, :dim])
         attend(q_c, mk_hbm, mks_hbm, mv_hbm, mvs_hbm, mem_pad,
                jnp.int32(mem_len), skip_first_start=fast)
-        x = _ln(x + _mm(attn_buf[:], wo_c, bo_c), ln[0, 2], ln[0, 3])
+        x = _ln(x + _mm(attn_buf[:], wo_c, bo_c, wsc[0, 3, :dim]),
+                ln[0, 2], ln[0, 3])
 
-        ff = jnp.maximum(_mm(x, w1, b1), 0.0)
-        x = _ln(x + _mm(ff, w2, b2), ln[0, 4], ln[0, 5])
+        ff = jnp.maximum(_mm(x, w1, b1, wsc[0, 4, :ffn_dim]), 0.0)
+        x = _ln(x + _mm(ff, w2, b2, wsc[0, 5, :dim]), ln[0, 4], ln[0, 5])
 
         x_buf[:] = x
         x_out[:] = x
@@ -514,6 +557,7 @@ def fused_decode_step(weights: StackedDecoder, x: jnp.ndarray,
             lspec(dim, ffn_dim), lspec(1, ffn_dim),   # w1, b1
             lspec(ffn_dim, dim), lspec(1, dim),       # w2, b2
             lspec(8, dim),                            # ln
+            lspec(8, weights.wsc.shape[2]),           # wsc
             any_spec, any_spec, any_spec, any_spec,   # self k, ks, v, vs
             any_spec, any_spec, any_spec, any_spec,   # mem k, ks, v, vs
         ],
@@ -563,7 +607,7 @@ def fused_decode_step(weights: StackedDecoder, x: jnp.ndarray,
         interpret=interpret,
     )(pos_arr, x,
       w.wqkv, w.bqkv, w.wo_s, w.bo_s, w.wq_c, w.bq_c, w.wo_c, w.bo_c,
-      w.w1, w.b1, w.w2, w.b2, w.ln,
+      w.w1, w.b1, w.w2, w.b2, w.ln, w.wsc,
       self_kv.k, self_kv.k_scale, self_kv.v, self_kv.v_scale,
       mem_kv.k, mem_kv.k_scale, mem_kv.v, mem_kv.v_scale)
     return x_out, k_new, v_new, k_sc, v_sc

@@ -74,11 +74,10 @@ class Trainer:
                             motion_p=self.cfg.data.motion_blur_p)
         return images, tokens
 
-    def train_epoch(self, state: TrainState, loader, tokenizer=None
-                    ) -> Dict[str, float]:
-        """Training epoch.  With a tokenizer and
-        cfg.train.train_metrics_every = N > 0, every Nth batch also runs the
-        eval decode and folds sampled train-time BLEU + mAP@0.3 into the
+    def train_epoch(self, state: TrainState, loader, tokenizer=None):
+        """Training epoch; returns ``(state, metrics)``.  With a tokenizer
+        and cfg.train.train_metrics_every = N > 0, every Nth batch also runs
+        the eval decode and folds sampled train-time BLEU + mAP@0.3 into the
         epoch metrics — a sampled version of the reference's per-batch
         train mAP/BLEU (train_val_epoch.py:81-231).
         """
@@ -96,24 +95,33 @@ class Trainer:
                 meters.setdefault(k, AvgMeter(k)).update(float(v), n)
             if map_metric is not None and b % every == 0:
                 _, aux = self.eval_step(state, images, tokens)
-                self._update_battery(meters, map_metric, aux, tokenizer, n)
-        self.state = state
+                self._update_battery(meters, map_metric, aux, tokenizer)
         out = {k: m.avg for k, m in meters.items()}
         if map_metric is not None:
             out["map@0.3"] = map_metric.compute()["map"]
-        return out
+        return state, out
 
     @staticmethod
-    def _update_battery(meters, map_metric, aux, tokenizer, n) -> None:
-        """Fold one batch's decoded products into BLEU meter + mAP state."""
+    def _update_battery(meters, map_metric, aux, tokenizer) -> None:
+        """Fold one batch's decoded products into BLEU meter + mAP state.
+
+        Multi-host safe: on pod slices the eval-step aux arrays are sharded
+        over the global data axis and not fully addressable from any one
+        process, so they are first gathered with ``process_allgather``; the
+        row count is then taken from the gathered arrays (the GLOBAL batch),
+        never from the host-local batch.
+        """
         from mdcnet_tpu.evals import calculate_bleu_scores
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            aux = multihost_utils.process_allgather(aux, tiled=True)
         sampled = np.asarray(aux["sampled"])
         gt_tokens = np.asarray(aux["gt_tokens"])
         pb, pl = np.asarray(aux["pred_boxes"]), np.asarray(aux["pred_labels"])
         ps, pc = np.asarray(aux["pred_scores"]), np.asarray(aux["pred_count"])
         gb, gl = np.asarray(aux["gt_boxes"]), np.asarray(aux["gt_labels"])
         gc = np.asarray(aux["gt_count"])
-        for i in range(n):
+        for i in range(sampled.shape[0]):
             ref = tokenizer.decode_captions(gt_tokens[i]).tolist()
             hyp = tokenizer.decode_captions(sampled[i]).tolist()
             meters.setdefault("bleu", AvgMeter("bleu")).update(
@@ -149,7 +157,7 @@ class Trainer:
                 meters.setdefault(k, AvgMeter(k)).update(val, n)
             if tokenizer is None:
                 continue
-            self._update_battery(meters, map_metric, aux, tokenizer, n)
+            self._update_battery(meters, map_metric, aux, tokenizer)
         out = {k: m.avg for k, m in meters.items()}
         if map_metric is not None:
             scores = map_metric.compute()
@@ -168,9 +176,8 @@ class Trainer:
         epochs = epochs or self.cfg.train.epochs
         patience = self.cfg.train.patience
         for epoch in range(epochs):
-            train_metrics = self.train_epoch(state, train_loader,
-                                             tokenizer=tokenizer)
-            state = self.state
+            state, train_metrics = self.train_epoch(state, train_loader,
+                                                    tokenizer=tokenizer)
             valid_metrics = self.valid_epoch(state, valid_loader,
                                              tokenizer=tokenizer)
             if test_loader is not None and tokenizer is not None:

@@ -43,16 +43,21 @@ def test_epoch(model, params, loader, tokenizer, cfg,
     for batch in loader:
         images = preprocess(jnp.asarray(batch.images), rng,
                             cfg.data.img_size, train=False)
+        # conf_every=1 keeps every step's top-1 probability so detections
+        # are score-ranked by mean coordinate-token probability like the
+        # reference (data_processing.py:601-666 via train_val_epoch.py:172)
         res = generate(model, params, images, rng,
                        steps=cfg.infer.generation_steps,
                        top_k=cfg.infer.top_k, top_p=cfg.infer.top_p,
-                       greedy=cfg.infer.greedy,
-                       conf_every=cfg.infer.conf_every)
+                       greedy=cfg.infer.greedy, conf_every=1)
         tokens = np.asarray(res.tokens)
         confs = np.asarray(res.confs)
 
-        # box metrics on device
-        pred = decode_jax.decode_groups(res.tokens, max_groups=8)
+        # box metrics on device; scores aligned token-for-token (BOS gets 1)
+        scores_full = jnp.concatenate(
+            [jnp.ones((tokens.shape[0], 1), jnp.float32), res.confs], axis=1)
+        pred = decode_jax.decode_groups(res.tokens, pred_scores=scores_full,
+                                        max_groups=8)
         gt = decode_jax.decode_groups(jnp.asarray(batch.tokens), max_groups=8)
         pb = decode_jax.rescale_boxes(pred.boxes, cfg.data.num_bins,
                                       cfg.data.img_size, cfg.data.img_size)
@@ -77,7 +82,7 @@ def test_epoch(model, params, loader, tokenizer, cfg,
             n_p, n_g = int(pred.count[i]), int(gt.count[i])
             map_metric.update(
                 [{"boxes": np.asarray(pb[i][:n_p]),
-                  "scores": np.ones(n_p),
+                  "scores": np.asarray(pred.scores[i][:n_p]),
                   "labels": np.asarray(pred.labels[i][:n_p])}],
                 [{"boxes": np.asarray(gb[i][:n_g]),
                   "labels": np.asarray(gt.labels[i][:n_g])}])

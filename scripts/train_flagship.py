@@ -121,8 +121,7 @@ def main():
 
     for epoch in range(args.epochs):
         t0 = time.time()
-        metrics = trainer.train_epoch(state, train_loader)
-        state = trainer.state
+        state, metrics = trainer.train_epoch(state, train_loader)
         print(f"epoch {epoch}: ce={metrics['ce_loss']:.4f} "
               f"giou={metrics['giou_loss']:.4f} "
               f"({time.time() - t0:.0f}s)", flush=True)

@@ -54,15 +54,18 @@ def mirror_attend(q, kq, ks, vq, vs, extent, limit, cur=None):
     kc = kq[:, :, :extent].reshape(n, extent, DH).astype(jnp.bfloat16)
     s = jax.lax.dot_general(qc, kc, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)[:, 0]
-    s = s * (DH ** -0.5) * ks.reshape(n, -1)[:, :extent]
-    ids = np.arange(extent)[None, :]
+    # multiply order matches the kernel's ``s * (scale * ksc)`` exactly —
+    # f32 non-associativity can flip a later bf16 rounding otherwise
+    s = s * ((DH ** -0.5) * ks.reshape(n, -1)[:, :extent])
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, extent), 1)
     s = jnp.where(ids < limit, s, mk.NEG_INF)
     if cur is not None:
         k8, ksc_c, v8, vsc_c = cur
         kd = (k8.astype(jnp.float32) * ksc_c).astype(jnp.bfloat16)
-        s_cur = jnp.sum(qc[:, 0].astype(jnp.float32)
-                        * kd.astype(jnp.float32), -1, keepdims=True) \
-            * (DH ** -0.5)
+        # bf16 dot like the kernel's s_cur (accumulation-order identical)
+        s_cur = jax.lax.dot_general(
+            qc, kd.reshape(n, 1, DH), (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0] * (DH ** -0.5)
         m = jnp.maximum(jnp.max(s, -1, keepdims=True), s_cur)
         e, e_cur = jnp.exp(s - m), jnp.exp(s_cur - m)
         den = jnp.sum(e, -1, keepdims=True) + e_cur
@@ -85,12 +88,14 @@ def mirror_attend(q, kq, ks, vq, vs, extent, limit, cur=None):
 def mirror_step(w: mk.StackedDecoder, x, self_kv: mk.StackedKV,
                 mem_kv: mk.StackedKV, pos):
     outs = []
+    # wsc row indices mirror the kernel: qkv | o_s | q_c | o_c | w1 | w2
     for l in range(L_LAYERS):
-        def mm(a, wgt, b):
-            return jnp.dot(a.astype(jnp.bfloat16), wgt[l],
-                           preferred_element_type=jnp.float32) + b[l]
+        def mm(a, wgt, b, sc_row, width):
+            y = jnp.dot(a.astype(jnp.bfloat16), wgt[l].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            return y * w.wsc[l, sc_row, :width][None, :] + b[l]
 
-        qkv = mm(x, w.wqkv, w.bqkv).astype(jnp.bfloat16)  # kernel's bf16
+        qkv = mm(x, w.wqkv, w.bqkv, 0, 3 * D).astype(jnp.bfloat16)
         # qkv scratch
         q, k_new, v_new = (qkv[:, :D], qkv[:, D:2 * D], qkv[:, 2 * D:])
         k8, ksc = mk._rowquant(
@@ -103,15 +108,51 @@ def mirror_step(w: mk.StackedDecoder, x, self_kv: mk.StackedKV,
         attn = mirror_attend(q, self_kv.k[l], self_kv.k_scale[l],
                              self_kv.v[l], self_kv.v_scale[l],
                              extent, pos, cur=(k8, ksc, v8, vsc))
-        x = mk._ln(x + mm(attn, w.wo_s, w.bo_s), w.ln[l, 0], w.ln[l, 1])
-        qc = mm(x, w.wq_c, w.bq_c)
+        x = mk._ln(x + mm(attn, w.wo_s, w.bo_s, 1, D),
+                   w.ln[l, 0], w.ln[l, 1])
+        qc = mm(x, w.wq_c, w.bq_c, 2, D)
         attn = mirror_attend(qc, mem_kv.k[l], mem_kv.k_scale[l],
                              mem_kv.v[l], mem_kv.v_scale[l],
                              MEM_PAD, MEM_REAL)
-        x = mk._ln(x + mm(attn, w.wo_c, w.bo_c), w.ln[l, 2], w.ln[l, 3])
-        ff = jnp.maximum(mm(x, w.w1, w.b1), 0.0)
-        x = mk._ln(x + mm(ff, w.w2, w.b2), w.ln[l, 4], w.ln[l, 5])
+        x = mk._ln(x + mm(attn, w.wo_c, w.bo_c, 3, D),
+                   w.ln[l, 2], w.ln[l, 3])
+        ff = jnp.maximum(mm(x, w.w1, w.b1, 4, FFN), 0.0)
+        x = mk._ln(x + mm(ff, w.w2, w.b2, 5, D), w.ln[l, 4], w.ln[l, 5])
     return x, outs
+
+
+def run_mirror(w, x, self_kv, mem_kv, pos):
+    """mirror_step evaluated INSIDE a trivial interpret-mode pallas_call:
+    pallas interpret lowers jnp ops slightly differently from raw XLA:CPU
+    (~1e-8 seeds that int8 re-quantization at the next layer amplifies to
+    ~1e-3), so sharing the lowering makes kernel-vs-mirror bit-exact."""
+    from jax.experimental import pallas as pl
+    flat, treedef = jax.tree_util.tree_flatten((w, self_kv, mem_kv))
+
+    def kern(*refs):
+        in_refs, x_ref = refs[: len(flat)], refs[len(flat)]
+        out_refs = refs[len(flat) + 1:]
+        wt, skv, mkv = jax.tree_util.tree_unflatten(
+            treedef, [r[:] for r in in_refs])
+        x_out, outs = mirror_step(wt, x_ref[:], skv, mkv, pos)
+        out_refs[0][:] = x_out
+        for l, (k8, ksc, v8, vsc) in enumerate(outs):
+            out_refs[1 + 4 * l][:] = k8
+            out_refs[2 + 4 * l][:] = ksc
+            out_refs[3 + 4 * l][:] = v8
+            out_refs[4 + 4 * l][:] = vsc
+
+    out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)]
+    for _ in range(L_LAYERS):
+        out_shape += [jax.ShapeDtypeStruct((B * H, DH), jnp.int8),
+                      jax.ShapeDtypeStruct((B * H, 1), jnp.float32),
+                      jax.ShapeDtypeStruct((B * H, DH), jnp.int8),
+                      jax.ShapeDtypeStruct((B * H, 1), jnp.float32)]
+    res = pl.pallas_call(kern, out_shape=out_shape, interpret=True
+                         )(*flat, x)
+    x_ref, rest = res[0], res[1:]
+    kv_ref = [tuple(rest[4 * l: 4 * l + 4]) for l in range(L_LAYERS)]
+    return x_ref, kv_ref
 
 
 @pytest.mark.parametrize("pos", [0, 3, 15])
@@ -143,10 +184,10 @@ def test_fused_step_matches_mirror(pos):
         num_layers=L_LAYERS, heads=H, mem_len=MEM_REAL, chunk=2,
         interpret=True)
 
-    x_ref, kv_ref = mirror_step(w, x, self_kv, mem_kv, pos)
+    x_ref, kv_ref = run_mirror(w, x, self_kv, mem_kv, pos)
 
     np.testing.assert_allclose(np.asarray(x_out), np.asarray(x_ref),
-                               rtol=2e-4, atol=2e-4)
+                               rtol=1e-6, atol=1e-6)
     for l in range(L_LAYERS):
         k8, ksc, v8, vsc = kv_ref[l]
         np.testing.assert_array_equal(np.asarray(k_new[l]),
@@ -216,3 +257,22 @@ def test_fused_step_slow_path_matches_mirror():
         test_fused_step_matches_mirror(40)
     finally:
         CACHE = old
+
+
+def test_fused_step_flagship_geometry():
+    """Per-step numerics at the flagship decoder geometry (dim 1024 /
+    8 heads / FFN 2048, trail_01.py:158-160) — small batch/cache so the
+    interpret-mode run stays tractable, but every lane/sublane dimension
+    matches production.  A megakernel numerics regression fails HERE, in
+    the suite, not just in the on-chip benchmark."""
+    global L_LAYERS, B, H, DH, D, FFN, CACHE, MEM_REAL, MEM_PAD
+    saved = (L_LAYERS, B, H, DH, D, FFN, CACHE, MEM_REAL, MEM_PAD)
+    L_LAYERS, B, H, DH = 2, 8, 8, 128
+    D = H * DH
+    FFN = 2 * D
+    CACHE, MEM_REAL, MEM_PAD = 24, 196, 200
+    try:
+        for pos in (5, 20):  # fast path and chunked fallback
+            test_fused_step_matches_mirror(pos)
+    finally:
+        (L_LAYERS, B, H, DH, D, FFN, CACHE, MEM_REAL, MEM_PAD) = saved

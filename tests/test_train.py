@@ -250,6 +250,6 @@ class TestTrainEpochSampledBattery:
             jnp.zeros((4, cfg.data.img_size, cfg.data.img_size, 3)),
             jnp.zeros((4, cfg.data.max_len - 1), jnp.int32))
         trainer = Trainer(model, cfg)
-        out = trainer.train_epoch(state, train_loader, tokenizer=tok)
+        _, out = trainer.train_epoch(state, train_loader, tokenizer=tok)
         for key in ("ce_loss", "bleu", "map@0.3"):
             assert key in out, key

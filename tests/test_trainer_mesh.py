@@ -37,9 +37,8 @@ class TestMeshTrainer:
         trainer = Trainer(model, cfg, mesh=mesh)
         state = trainer.shard_state(state)
         with mesh:
-            m0 = trainer.train_epoch(state, train_loader)
-            state = trainer.state
-            m1 = trainer.train_epoch(state, train_loader)
+            state, m0 = trainer.train_epoch(state, train_loader)
+            state, m1 = trainer.train_epoch(state, train_loader)
         assert m1["ce_loss"] < m0["ce_loss"]
         # params stayed sharded through updates
         leaf = state.params["params"]["decoder"]["layer0"]["linear1"]["kernel"]
