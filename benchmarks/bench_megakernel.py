@@ -96,6 +96,17 @@ def main():
           f"{rows_equal:.4f})", flush=True)
     print(f"speedup: {results['xla'][1] / results['megakernel'][1]:.2f}x",
           flush=True)
+    # machine-checkable summary line (archived by the round driver)
+    import json
+    print("MEGAKERNEL_AGREEMENT " + json.dumps({
+        "token_agreement": round(agree, 6),
+        "rows_equal": round(rows_equal, 6),
+        "xla_ms": round(results["xla"][1] * 1e3, 2),
+        "megakernel_ms": round(results["megakernel"][1] * 1e3, 2),
+        "speedup": round(results["xla"][1] / results["megakernel"][1], 4),
+        "batch": args.batch, "steps": args.steps,
+        "early_exit": bool(args.early_exit), "workload": workload,
+    }), flush=True)
 
 
 if __name__ == "__main__":

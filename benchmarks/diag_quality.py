@@ -72,7 +72,7 @@ def main():
     rng = jax.random.PRNGKey(0)
 
     @jax.jit
-    def tf_logits(images, tokens):
+    def tf_logits(params, images, tokens):
         y_in = tokens[:, 1:-1]
         return model.apply(params, images, y_in)
 
@@ -86,7 +86,7 @@ def main():
         images = preprocess(jnp.asarray(batch.images), rng,
                             cfg.data.img_size, train=False)
         tokens = jnp.asarray(batch.tokens)
-        logits = tf_logits(images, tokens)
+        logits = tf_logits(params, images, tokens)
         # position j of logits predicts tokens[:, j+1]
         pred = np.asarray(jnp.argmax(logits, -1))
         tgt = np.asarray(tokens)[:, 1:]

@@ -158,6 +158,12 @@ class TrainConfig:
     # Gradient accumulation: optimizer applies every N micro-batches
     # (effective batch = N * batch_size); 1 = reference behavior
     grad_accum_steps: int = 1
+    # Global-norm gradient clipping (0 = off, the reference never clips).
+    # Needed when the differentiable box loss is on: its expected-coordinate
+    # gradients are ~10x the CE gradients and at the cyclic-LR peak they
+    # destroy a converged model within one cycle (round-3 resume probe:
+    # CE 0.16 -> 2.8 in 24 steps).
+    grad_clip_norm: float = 0.0
     checkpoint_dir: str = "checkpoints"
     keep_checkpoints: int = 3
 

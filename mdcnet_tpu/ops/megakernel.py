@@ -522,10 +522,10 @@ def fused_decode_step(weights: StackedDecoder, x: jnp.ndarray,
     assert b % chunk == 0, (b, chunk)
     n = chunk * heads
 
-    fast_ext = min(16, cache_len)  # sublane-aligned one-shot self extent
-    # (GC10 sequences run ~21 tokens: steps 0-15 take the one-shot path,
-    # the tail falls back to the chunk loop; 16 keeps the whole kernel
-    # under the 128 MiB VMEM capacity at B=256)
+    fast_ext = min(32, cache_len)  # sublane-aligned one-shot self extent
+    # (GC10 sequences run ~21 tokens: with 32 every real decode step takes
+    # the one-shot path and the chunk loop only serves the long tail; int8
+    # weights freed the VMEM that caps this — v2's 16 was the bf16 limit)
 
     kernel = _make_kernel(
         num_layers=num_layers, batch=b, heads=heads, head_dim=head_dim,

@@ -57,40 +57,23 @@ class CheckpointManager:
                  if f.startswith("ckpt_") and f.endswith(".npz")]
         return max(steps) if steps else None
 
-    def restore_params(self, model, cfg, step: Optional[int] = None):
+    def restore_params(self, model=None, cfg=None,
+                       step: Optional[int] = None):
         """Restore ONLY the params tree, without ever touching a device.
 
-        The template comes from ``jax.eval_shape`` over ``model.init`` (no
-        compile, no device transfer) and the restored leaves stay numpy.
-        This matters over the axon tunnel: a full-TrainState restore round-
-        trips ~1.5 GB through the device (template readback + opt-state
-        upload) and takes minutes; params-only host restore is seconds.
-        Callers ``jax.device_put`` the result once.
+        An argless orbax restore returns the saved tree as plain
+        numpy/dict/list — no template, so it keeps working when the
+        *current* optimizer tree differs from the one the checkpoint was
+        saved with (e.g. ``grad_clip_norm`` adds a chain layer).  This
+        matters over the axon tunnel too: a full-TrainState device restore
+        round-trips ~1.5 GB and takes minutes; host restore is seconds.
+        Callers ``jax.device_put`` the result once.  ``model``/``cfg`` are
+        accepted for signature compatibility and unused.
         """
         step = step if step is not None else self.latest_step()
         assert step is not None, "no checkpoint found"
-        import jax.numpy as jnp
-
-        from mdcnet_tpu.train.state import TrainState, make_optimizer
-
-        def build(r):
-            params = model.init(
-                {"params": r},
-                jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3)),
-                jnp.zeros((1, cfg.data.max_len - 1), jnp.int32))
-            tx = make_optimizer(cfg.train)
-            return TrainState(params=params,
-                              opt_state=tx.init(params["params"]),
-                              step=jnp.zeros((), jnp.int32),
-                              rng=jax.random.PRNGKey(0))
-
-        shapes = jax.eval_shape(build, jax.random.PRNGKey(0))
-        target = jax.tree_util.tree_map(
-            lambda s: np.zeros(s.shape, s.dtype), shapes)
         if self._mgr is not None:
-            restored = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(target))
-            return restored.params
+            return self._mgr.restore(step)["params"]
         raise NotImplementedError("params-only restore requires orbax")
 
     def restore(self, template: TrainState,

@@ -30,8 +30,12 @@ def make_optimizer(train_cfg) -> optax.GradientTransformation:
     (trail_01.py:209, 220-224)."""
     schedule = cyclic_triangular(train_cfg.base_lr, train_cfg.max_lr,
                                  train_cfg.step_size_up)
-    return optax.adamw(learning_rate=schedule,
-                       weight_decay=train_cfg.weight_decay)
+    tx = optax.adamw(learning_rate=schedule,
+                     weight_decay=train_cfg.weight_decay)
+    clip = getattr(train_cfg, "grad_clip_norm", 0.0)
+    if clip and clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    return tx
 
 
 def create_train_state(model, cfg, rng: jax.Array,

@@ -47,6 +47,13 @@ def main():
                     help="converted ImageNet encoder .npz")
     ap.add_argument("--resume", action="store_true",
                     help="continue from the latest checkpoint in --out")
+    ap.add_argument("--resume-params", action="store_true",
+                    help="restore params only (fresh optimizer) — needed "
+                    "when the optimizer tree changes, e.g. turning on "
+                    "--grad-clip against an unclipped checkpoint; also "
+                    "seconds instead of minutes over the device tunnel")
+    ap.add_argument("--grad-clip", type=float, default=0.0,
+                    help="global-norm gradient clip (0 = off)")
     ap.add_argument("--skip-quality", action="store_true",
                     help="skip the post-training quality measurement")
     ap.add_argument("--max-lr", type=float, default=0.0,
@@ -55,6 +62,11 @@ def main():
                     help="override decoder pos dropout (reference: 0.4)")
     ap.add_argument("--layer-dropout", type=float, default=-1.0)
     ap.add_argument("--patch-dropout", type=float, default=-1.0)
+    ap.add_argument("--diff-giou", action="store_true",
+                    help="differentiable expected-coordinate GIoU (the "
+                    "reference's sampled-token GIoU carries no gradient; "
+                    "round-3 diag: TF coord acc 0.21 vs label acc 0.94 "
+                    "because boxes only ever learned through CE)")
     args = ap.parse_args()
 
     from mdcnet_tpu import config as C
@@ -74,6 +86,12 @@ def main():
     if args.max_lr:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train,
                                                     max_lr=args.max_lr))
+    if args.diff_giou:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, replicate_nondiff_giou=False))
+    if args.grad_clip:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, grad_clip_norm=args.grad_clip))
     # dropout overrides: the post-norm stack trained at the reference's 0.4
     # elementwise dropout sees ~1.3x larger activation variance than at
     # eval; on the synthetic task the model co-adapts and deterministic
@@ -114,7 +132,11 @@ def main():
 
     logger = MetricLogger()
     ckpt = CheckpointManager(args.out, max_to_keep=1)
-    if args.resume and ckpt.latest_step() is not None:
+    if args.resume_params and ckpt.latest_step() is not None:
+        params = ckpt.restore_params(model, cfg)
+        state = state.replace(params=jax.device_put(params))
+        print(f"resumed params from step {ckpt.latest_step()}", flush=True)
+    elif args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         print(f"resumed from step {int(state.step)}", flush=True)
     trainer = Trainer(model, cfg, logger=logger, checkpoints=None)
