@@ -268,6 +268,72 @@ def cmd_streaming(args):
         print(json.dumps({"labels": labels[i], "caption": captions[i]}))
 
 
+def cmd_serve(args):
+    """Continuous-batching serving benchmark: stream the test split through
+    the slot-pool engine at an open-loop arrival rate and report
+    throughput + latency percentiles (the runtime tier the reference's
+    offline batch loops lack; serve/engine.py)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from mdcnet_tpu.data.pipeline import make_loaders
+    from mdcnet_tpu.infer.generate import postprocess
+    from mdcnet_tpu.models import build_model
+    from mdcnet_tpu.serve import Request, ServingEngine, latency_stats
+
+    cfg = get_config(args)
+    records, tokenizer, cfg = load_data(args, cfg)
+    model = build_model(cfg.model)
+    _, _, test_loader = make_loaders(records, tokenizer, cfg.data,
+                                     synthetic_images=args.synthetic_images)
+
+    images = []
+    for batch in test_loader:
+        images.extend(np.asarray(batch.images))
+        if len(images) >= args.requests:
+            break
+    images = (images * (args.requests // max(1, len(images)) + 1)
+              )[: args.requests]
+
+    params = _init_params(
+        model, cfg,
+        jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3)),
+        args.checkpoint)
+    eng = ServingEngine(model, params, slots=args.slots,
+                        admit_width=args.admit_width,
+                        segment_steps=args.segment_steps,
+                        max_steps=cfg.infer.generation_steps,
+                        img_size=cfg.data.img_size)
+
+    # open-loop arrivals: exponential gaps at --rate req/s (0 = all at once)
+    arrivals = np.zeros(args.requests)
+    if args.rate > 0:
+        gaps = np.random.default_rng(0).exponential(1.0 / args.rate,
+                                                    args.requests)
+        arrivals = np.cumsum(gaps)
+    reqs = [Request(rid=i, image=images[i], arrival=float(arrivals[i]))
+            for i in range(args.requests)]
+
+    # warmup: compile all three device programs off the clock
+    eng.serve([Request(rid=-1, image=images[0])])
+    eng._reset()
+
+    t0 = time.perf_counter()
+    comps = eng.serve(reqs)
+    stats = latency_stats(comps, time.perf_counter() - t0)
+    stats["rate_rps"] = args.rate
+    stats["slots"] = args.slots
+    if args.show > 0:
+        for c in sorted(comps, key=lambda c: c.rid)[: args.show]:
+            _, labels, captions, _ = postprocess(
+                c.tokens[None], np.zeros((1, 32)), tokenizer)
+            print(json.dumps({"rid": c.rid, "labels": labels[0],
+                              "caption": captions[0],
+                              "latency_ms": round(c.latency * 1e3, 1)}))
+    print("SERVE " + json.dumps(stats))
+
+
 def cmd_benchmark(args):
     import bench
     bench.main()
@@ -318,6 +384,24 @@ def main(argv=None):
     p.add_argument("--context", type=int, default=None,
                    help="context-parallel axis size")
     p.set_defaults(fn=cmd_streaming)
+
+    p = sub.add_parser("serve")
+    _add_common(p)
+    p.add_argument("--checkpoint", default="",
+                   help=".pth file or orbax checkpoint directory")
+    p.add_argument("--requests", type=int, default=256,
+                   help="total requests to stream through the engine")
+    p.add_argument("--rate", type=float, default=0.0,
+                   help="open-loop arrival rate, req/s (0 = all at once)")
+    p.add_argument("--slots", type=int, default=64,
+                   help="resident decode lanes")
+    p.add_argument("--admit-width", type=int, default=16,
+                   help="newcomer encode batch width")
+    p.add_argument("--segment-steps", type=int, default=8,
+                   help="decode steps per host sync")
+    p.add_argument("--show", type=int, default=0,
+                   help="print the first N completions as JSON rows")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("benchmark")
     p.set_defaults(fn=cmd_benchmark)

@@ -178,12 +178,18 @@ class CaptionDecoder(nn.Module):
                     mem_kvs: List[Tuple[jnp.ndarray, jnp.ndarray]],
                     key_valid: jnp.ndarray
                     ) -> Tuple[jnp.ndarray, List[Tuple[jnp.ndarray, jnp.ndarray]]]:
-        """Advance one position.  token: (B,) ids; pos: scalar int; key_valid:
-        (B, cache_len) bool marking attendable cache slots (non-pad positions
-        <= pos).  Returns (logits (B, V), updated caches)."""
-        pos_embed = jax.lax.dynamic_slice(
-            self.decoder_pos_embed.astype(self.dtype),
-            (0, pos, 0), (1, 1, self.dim))
+        """Advance one position.  token: (B,) ids; pos: scalar int or (B,)
+        per-row positions (continuous batching); key_valid: (B, cache_len)
+        bool marking attendable cache slots (non-pad positions <= pos).
+        Returns (logits (B, V), updated caches)."""
+        if getattr(pos, "ndim", 0) == 1:
+            pos_embed = jnp.take(
+                self.decoder_pos_embed.astype(self.dtype)[0], pos,
+                axis=0)[:, None, :]
+        else:
+            pos_embed = jax.lax.dynamic_slice(
+                self.decoder_pos_embed.astype(self.dtype),
+                (0, pos, 0), (1, 1, self.dim))
         x = self.embedding(token[:, None]) + pos_embed
         new_caches = []
         mem_pos = self.encoder_length - 1  # real memory length (quant pads)

@@ -136,19 +136,30 @@ class TorchDecoderLayer(nn.Module):
                     mem_pos: Optional[int] = None
                     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
         """One-token decode. tgt: (B, 1, D); kv_cache: ((B,H,L,Dh) k, v);
-        mem_kv: precomputed cross-attention k/v; pos: scalar position;
-        key_valid: (B, L) bool — True for positions < pos+1 that hold
-        non-pad tokens.  Returns (out (B,1,D), updated kv_cache)."""
+        mem_kv: precomputed cross-attention k/v; pos: scalar position OR a
+        (B,) vector of per-row positions (continuous-batching serving, where
+        every slot decodes at its own depth); key_valid: (B, L) bool — True
+        for positions < pos+1 that hold non-pad tokens.
+        Returns (out (B,1,D), updated kv_cache)."""
         from mdcnet_tpu.ops import kv_quant
 
         k_cache, v_cache = kv_cache
         quantized = isinstance(k_cache, kv_quant.QuantKV)
+        per_row = getattr(pos, "ndim", 0) == 1
+        assert not (per_row and quantized), \
+            "per-row positions require the unquantized cache"
         q = self.self_attn.head_split(self.self_attn.q_proj(tgt))
         k_new = self.self_attn.head_split(self.self_attn.k_proj(tgt))
         v_new = self.self_attn.head_split(self.self_attn.v_proj(tgt))
         bias = jnp.where(key_valid[:, None, None, :], 0.0, NEG_INF
                          ).astype(jnp.float32)
-        if quantized:
+        if per_row:
+            # scatter each row's new K/V at that row's own position
+            rows = jnp.arange(k_cache.shape[0])
+            k_cache = k_cache.at[rows, :, pos].set(k_new[:, :, 0])
+            v_cache = v_cache.at[rows, :, pos].set(v_new[:, :, 0])
+            x = dot_product_attention(q, k_cache, v_cache, bias)
+        elif quantized:
             from mdcnet_tpu.ops.decode_kernel import fused_int8_decode_attention
             k_cache = kv_quant.update_slice(k_cache, k_new, pos)
             v_cache = kv_quant.update_slice(v_cache, v_new, pos)

@@ -1,0 +1,271 @@
+"""Continuous-batching serving engine around the KV-cached decode.
+
+The reference serves inference as offline whole-split batch loops
+(inference_p.py:69-115): every image in a batch decodes to the full budget
+and the batch only completes when its longest sequence does.  Under live
+traffic that wastes most decode slots — GC10 captions span ~11-26 tokens,
+so a static batch burns up to 2x its useful work on finished rows.
+
+This engine keeps a fixed pool of ``slots`` decode lanes resident on the
+TPU and streams requests through them:
+
+  - every slot decodes at its OWN depth (``decode_step`` with a (B,)
+    position vector — each row's K/V scatter and pos-embed lookup is
+    per-row);
+  - a row that emits EOS frees its slot; the next queued request is
+    admitted into it without disturbing the other rows (its cross-attention
+    memory K/V are scattered into the slot; stale self-attention cache
+    beyond the row's position is masked off by ``key_valid``);
+  - decode advances in jitted ``segment_steps``-step lax.scan segments;
+    admission happens between segments (one host round-trip per segment,
+    ~32 ms over a remote tunnel — segments amortize it);
+  - newcomer images are encoded in fixed-width ``admit_width`` batches so
+    the encoder compiles exactly once.
+
+Greedy decode is token-identical to ``infer.generate`` on the same images
+(tests/test_serve.py asserts it), so the EOS structure gate and tokenizer
+postprocess apply unchanged.
+"""
+from __future__ import annotations
+
+import collections
+import time
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdcnet_tpu.config import BOS_ID, EOS_ID, PAD_ID
+
+
+class Request(NamedTuple):
+    rid: int
+    image: np.ndarray          # (H, W, 3) uint8 or float
+    arrival: float = 0.0       # seconds since serve() start
+
+
+class Completion(NamedTuple):
+    rid: int
+    tokens: np.ndarray         # (steps+1,) BOS-seeded, PAD after EOS
+    latency: float             # completion - arrival (s)
+    queued: float              # admission - arrival (s)
+
+
+class _DeviceState(NamedTuple):
+    token: jnp.ndarray         # (B,) current input token per slot
+    pos: jnp.ndarray           # (B,) next cache position per slot
+    caches: list               # per-layer (k, v) self-attention caches
+    mem_kvs: list              # per-layer (k, v) cross-attention memory
+    active: jnp.ndarray        # (B,) slot holds a request
+    finished: jnp.ndarray      # (B,) slot's request has emitted EOS
+    buf: jnp.ndarray           # (B, max_steps+1) emitted tokens
+
+
+class ServingEngine:
+    """Continuous batching over the flagship encoder-decoder.
+
+    Parameters
+    ----------
+    model, params : the encdec model (standard causal decoder, unquantized
+        KV caches — per-row positions need the dense cache) and its params.
+    slots : resident decode lanes (the TPU batch).
+    admit_width : newcomer encode batch; admission pads to this width so
+        the encoder compiles once.
+    segment_steps : decode steps per jitted segment (host sync cadence).
+    max_steps : decode budget per request (default: cache capacity).
+    """
+
+    def __init__(self, model, params, slots: int = 64, admit_width: int = 16,
+                 segment_steps: int = 8, max_steps: Optional[int] = None,
+                 img_size: int = 224):
+        decoder = model.decoder
+        assert getattr(decoder, "prepend_bos", True), \
+            "serving requires the standard causal decoder"
+        assert not decoder.kv_quant, \
+            "serving uses per-row cache positions (dense caches)"
+        self.model = model
+        self.params = params
+        self.slots = slots
+        self.admit_width = min(admit_width, slots)
+        self.segment_steps = segment_steps
+        self.cache_len = decoder.max_len - 1
+        self.max_steps = min(max_steps or self.cache_len - 1,
+                             self.cache_len - 1)
+        self.img_size = img_size
+        self._build()
+        self._reset()
+
+    # ------------------------------------------------------------------ #
+    # jitted device programs (each compiles once)
+    # ------------------------------------------------------------------ #
+    def _build(self):
+        model, B = self.model, self.slots
+        A, K, L = self.admit_width, self.segment_steps, self.cache_len
+        max_steps = self.max_steps
+        size = self.img_size
+
+        @jax.jit
+        def encode_prepare(params, images):
+            """(A, H, W, 3) float in [0, 255] -> per-layer memory K/V
+            (preprocess normalizes, like every other inference path)."""
+            from mdcnet_tpu.data.augment import preprocess
+            images = preprocess(images, jax.random.PRNGKey(0), size,
+                                train=False)
+            enc = model.apply(params, images, method="encode")
+            return model.apply(
+                params, enc, method=lambda m, e: m.decoder.prepare_memory(e))
+
+        @jax.jit
+        def admit(state: _DeviceState, slot_idx, new_mem):
+            """Scatter ``new_mem`` rows into ``slot_idx`` lanes and reset
+            them; invalid entries carry slot_idx == B (out of bounds) and
+            are dropped by the scatter."""
+            mem_kvs = jax.tree_util.tree_map(
+                lambda m, n: m.at[slot_idx].set(n, mode="drop"),
+                state.mem_kvs, new_mem)
+            row = jnp.full((max_steps + 1,), PAD_ID,
+                           jnp.int32).at[0].set(BOS_ID)
+            return state._replace(
+                mem_kvs=mem_kvs,
+                token=state.token.at[slot_idx].set(BOS_ID, mode="drop"),
+                pos=state.pos.at[slot_idx].set(0, mode="drop"),
+                active=state.active.at[slot_idx].set(True, mode="drop"),
+                finished=state.finished.at[slot_idx].set(False, mode="drop"),
+                buf=state.buf.at[slot_idx].set(row, mode="drop"))
+
+        positions = jnp.arange(L)[None, :]
+        rows = jnp.arange(B)
+
+        @jax.jit
+        def segment(params, state: _DeviceState) -> _DeviceState:
+            """Advance every live slot ``K`` tokens (one compiled program)."""
+
+            def body(carry, _):
+                token, pos, caches, finished, buf = carry
+                key_valid = positions <= pos[:, None]
+                logits, caches = model.apply(
+                    params, token, pos, caches, state.mem_kvs, key_valid,
+                    method=lambda m, *a: m.decoder.decode_step(*a))
+                live = state.active & ~finished
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                nxt = jnp.where(live, nxt, PAD_ID)
+                finished = finished | (live & ((nxt == EOS_ID) |
+                                               (pos + 1 >= max_steps)))
+                # frozen rows re-write their own value at column 0 (no-op)
+                idx = jnp.where(live, pos + 1, 0)
+                val = jnp.where(live, nxt, buf[:, 0])
+                buf = buf.at[rows, idx].set(val)
+                token = jnp.where(live, nxt, token)
+                pos = pos + live.astype(pos.dtype)
+                return (token, pos, caches, finished, buf), None
+
+            carry = (state.token, state.pos, state.caches, state.finished,
+                     state.buf)
+            carry, _ = jax.lax.scan(body, carry, None, length=K)
+            token, pos, caches, finished, buf = carry
+            return state._replace(token=token, pos=pos, caches=caches,
+                                  finished=finished, buf=buf)
+
+        self._encode_prepare = encode_prepare
+        self._admit = admit
+        self._segment = segment
+
+    def _reset(self):
+        decoder = self.model.decoder
+        B, L = self.slots, self.cache_len
+        caches = decoder.init_cache(B, L)
+        # memory K/V template: encode one admit-width batch of zeros and
+        # tile the SHAPE (values are dead until a slot is admitted)
+        mem_shapes = jax.eval_shape(
+            self._encode_prepare, self.params,
+            jnp.zeros((self.admit_width, self.img_size, self.img_size, 3),
+                      jnp.float32))
+        mem_kvs = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((B,) + s.shape[1:], s.dtype), mem_shapes)
+        self._state = _DeviceState(
+            token=jnp.full((B,), PAD_ID, jnp.int32),
+            pos=jnp.zeros((B,), jnp.int32),
+            caches=caches,
+            mem_kvs=mem_kvs,
+            active=jnp.zeros((B,), bool),
+            finished=jnp.zeros((B,), bool),
+            buf=jnp.full((B, self.max_steps + 1), PAD_ID, jnp.int32))
+        self._slot_req: List[Optional[Request]] = [None] * B
+        self._slot_admit_t: List[float] = [0.0] * B
+
+    # ------------------------------------------------------------------ #
+    # host loop
+    # ------------------------------------------------------------------ #
+    def serve(self, requests: Sequence[Request],
+              progress_every: int = 0) -> List[Completion]:
+        """Run the engine until every request completes.  Requests whose
+        ``arrival`` lies in the future (relative to serve() start) queue
+        until their time comes — an open-loop load generator."""
+        t0 = time.perf_counter()
+        pending = collections.deque(
+            sorted(requests, key=lambda r: r.arrival))
+        completions: List[Completion] = []
+        n_total = len(pending)
+
+        while len(completions) < n_total:
+            now = time.perf_counter() - t0
+            free = [s for s in range(self.slots)
+                    if self._slot_req[s] is None]
+            # admit newcomers (fixed-width encode batch)
+            batch: List[Tuple[int, Request]] = []
+            while (pending and pending[0].arrival <= now and free
+                   and len(batch) < self.admit_width):
+                batch.append((free.pop(0), pending.popleft()))
+            if batch:
+                imgs = np.zeros((self.admit_width, self.img_size,
+                                 self.img_size, 3), np.float32)
+                idx = np.full((self.admit_width,), self.slots, np.int32)
+                for j, (slot, req) in enumerate(batch):
+                    imgs[j] = np.asarray(req.image, np.float32)  # [0, 255]
+                    idx[j] = slot
+                    self._slot_req[slot] = req
+                    self._slot_admit_t[slot] = now
+                new_mem = self._encode_prepare(self.params, jnp.asarray(imgs))
+                self._state = self._admit(self._state, jnp.asarray(idx),
+                                          new_mem)
+
+            occupied = [s for s in range(self.slots)
+                        if self._slot_req[s] is not None]
+            if not occupied:
+                if pending:      # idle until the next arrival
+                    time.sleep(max(0.0, pending[0].arrival - now))
+                    continue
+                break
+
+            self._state = self._segment(self.params, self._state)
+
+            fin = np.asarray(self._state.finished)
+            done = [s for s in occupied if fin[s]]
+            if done:
+                rows = np.asarray(self._state.buf[jnp.asarray(done)])
+                t_done = time.perf_counter() - t0
+                for j, s in enumerate(done):
+                    req = self._slot_req[s]
+                    completions.append(Completion(
+                        rid=req.rid, tokens=rows[j],
+                        latency=t_done - req.arrival,
+                        queued=self._slot_admit_t[s] - req.arrival))
+                    self._slot_req[s] = None
+            if progress_every and len(completions) % progress_every == 0:
+                print(f"served {len(completions)}/{n_total}", flush=True)
+        return completions
+
+
+def latency_stats(completions: Sequence[Completion],
+                  wall_s: float) -> Dict[str, float]:
+    lats = np.array([c.latency for c in completions])
+    return {
+        "requests": len(completions),
+        "wall_s": round(wall_s, 3),
+        "throughput_rps": round(len(completions) / wall_s, 1),
+        "latency_p50_ms": round(float(np.percentile(lats, 50)) * 1e3, 1),
+        "latency_p90_ms": round(float(np.percentile(lats, 90)) * 1e3, 1),
+        "latency_p99_ms": round(float(np.percentile(lats, 99)) * 1e3, 1),
+        "latency_mean_ms": round(float(lats.mean()) * 1e3, 1),
+    }
