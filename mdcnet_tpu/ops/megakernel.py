@@ -522,10 +522,12 @@ def fused_decode_step(weights: StackedDecoder, x: jnp.ndarray,
     assert b % chunk == 0, (b, chunk)
     n = chunk * heads
 
-    fast_ext = min(32, cache_len)  # sublane-aligned one-shot self extent
-    # (GC10 sequences run ~21 tokens: with 32 every real decode step takes
-    # the one-shot path and the chunk loop only serves the long tail; int8
-    # weights freed the VMEM that caps this — v2's 16 was the bf16 limit)
+    fast_ext = min(16, cache_len)  # sublane-aligned one-shot self extent
+    # (GC10 sequences run ~21 tokens: steps 0-15 take the one-shot path,
+    # the tail falls back to the chunk loop.  16 is the flagship VMEM
+    # ceiling even with int8 weights: 32 was measured to exceed the 114 MiB
+    # scoped-vmem limit by 8.9 MiB at B=256 — the one-shot path's live
+    # K/V slab scales with fast_ext and dominates the freed weight bytes)
 
     kernel = _make_kernel(
         num_layers=num_layers, batch=b, heads=heads, head_dim=head_dim,

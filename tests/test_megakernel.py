@@ -103,7 +103,7 @@ def mirror_step(w: mk.StackedDecoder, x, self_kv: mk.StackedKV,
         v8, vsc = mk._rowquant(
             v_new.reshape(B * H, DH).astype(jnp.float32))
         outs.append((k8, ksc, v8, vsc))
-        fast_ext = min(32, CACHE)  # must track fused_decode_step's choice
+        fast_ext = min(16, CACHE)  # must track fused_decode_step's choice
         extent = fast_ext if pos < fast_ext else CACHE
         attn = mirror_attend(q, self_kv.k[l], self_kv.k_scale[l],
                              self_kv.v[l], self_kv.v_scale[l],
