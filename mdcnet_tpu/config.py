@@ -158,6 +158,12 @@ class TrainConfig:
     # Gradient accumulation: optimizer applies every N micro-batches
     # (effective batch = N * batch_size); 1 = reference behavior
     grad_accum_steps: int = 1
+    # Gaussian label smoothing over the ordinal coordinate-token window
+    # (sigma in bins; 0 = reference one-hot CE).  One-hot CE treats a
+    # 1-bin coordinate miss like a 200-bin miss; after full convergence it
+    # leaves coordinate positions at 21 % token accuracy vs 93 %+ on
+    # label/special positions (round-3 diagnosis).
+    coord_label_smooth_sigma: float = 0.0
     # Global-norm gradient clipping (0 = off, the reference never clips).
     # Needed when the differentiable box loss is on: its expected-coordinate
     # gradients are ~10x the CE gradients and at the cyclic-LR peak they

@@ -73,7 +73,14 @@ class CheckpointManager:
         step = step if step is not None else self.latest_step()
         assert step is not None, "no checkpoint found"
         if self._mgr is not None:
-            return self._mgr.restore(step)["params"]
+            import logging
+            absl = logging.getLogger("absl")
+            level = absl.level
+            absl.setLevel(logging.ERROR)  # orbax warns on template-free
+            try:                          # restore; intentional here
+                return self._mgr.restore(step)["params"]
+            finally:
+                absl.setLevel(level)
         raise NotImplementedError("params-only restore requires orbax")
 
     def restore(self, template: TrainState,

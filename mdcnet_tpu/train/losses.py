@@ -33,6 +33,45 @@ def cross_entropy_ignore_pad(logits: jnp.ndarray, targets: jnp.ndarray,
     return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def coord_smoothed_cross_entropy(logits: jnp.ndarray, targets: jnp.ndarray,
+                                 num_bins: int, sigma: float,
+                                 pad_id: int = PAD_ID) -> jnp.ndarray:
+    """CE where coordinate-token targets are a discretized Gaussian over
+    neighboring bins instead of one-hot.
+
+    The vocabulary's coordinate window is ids [0, num_bins); those classes
+    are ORDINAL (bin j is a pixel position), but plain CE treats a miss by
+    one bin exactly like a miss by 200.  Round-3 diagnosis: after full
+    convergence under one-hot CE the coordinate positions sit at 21 % token
+    accuracy with |err| p50 = 28 bins while label/special positions are at
+    93 %+ — the one-hot objective never teaches the ordinal structure.
+    A Gaussian soft target (sigma ~1-2 bins) rewards near-misses and
+    concentrates mass around the true bin; non-coordinate targets stay
+    one-hot.  ``sigma=0`` is exactly ``cross_entropy_ignore_pad``.
+    """
+    if sigma <= 0:
+        return cross_entropy_ignore_pad(logits, targets, pad_id)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # one-hot part (all tokens)
+    nll_hard = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    # Gaussian part over the coordinate window.  Targets outside the
+    # window are clamped to bin 0 FIRST: for a far-away target (e.g. a
+    # special token ~300) every Gaussian weight underflows to zero and the
+    # w/sum(w) normalization is 0/0 — the NaN then leaks through the
+    # jnp.where into the gradient even though the branch is unselected
+    # (the standard where-NaN-grad trap).
+    is_coord = targets < num_bins
+    t_c = jnp.where(is_coord, targets, 0).astype(jnp.float32)
+    bins = jnp.arange(num_bins, dtype=jnp.float32)
+    d2 = (bins[None, None, :] - t_c[..., None]) ** 2
+    w = jnp.exp(-d2 / (2.0 * sigma * sigma))
+    w = w / jnp.sum(w, axis=-1, keepdims=True)
+    nll_soft = -jnp.sum(w * logp[..., :num_bins], axis=-1)
+    nll = jnp.where(is_coord, nll_soft, nll_hard)
+    mask = (targets != pad_id).astype(jnp.float32)
+    return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
 def l1_regularization(params) -> jnp.ndarray:
     """sum(|p|) over every parameter (train_val_epoch.py:361)."""
     leaves = jax.tree_util.tree_leaves(params)
@@ -88,10 +127,17 @@ def composite_loss(logits: jnp.ndarray, targets: jnp.ndarray, params,
                    giou_loss_value: jnp.ndarray,
                    iou_loss_weight: float = 0.5,
                    l1_lambda: float = 1e-7,
-                   replicate_nondiff_giou: bool = True
+                   replicate_nondiff_giou: bool = True,
+                   coord_sigma: float = 0.0, num_bins: int = 0
                    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """The reference total loss (train_val_epoch.py:364-365)."""
-    ce = cross_entropy_ignore_pad(logits, targets)
+    """The reference total loss (train_val_epoch.py:364-365).  With
+    ``coord_sigma > 0`` the CE term uses Gaussian-smoothed coordinate
+    targets (``coord_smoothed_cross_entropy``)."""
+    if coord_sigma > 0:
+        ce = coord_smoothed_cross_entropy(logits, targets, num_bins,
+                                          coord_sigma)
+    else:
+        ce = cross_entropy_ignore_pad(logits, targets)
     l1 = l1_regularization(params)
     giou = (jax.lax.stop_gradient(giou_loss_value)
             if replicate_nondiff_giou else giou_loss_value)

@@ -85,6 +85,7 @@ def make_train_step(model, cfg, apply_fn=None):
     iou_w = cfg.train.iou_loss_weight
     l1_lambda = cfg.train.l1_lambda
     replicate = cfg.train.replicate_nondiff_giou
+    coord_sigma = getattr(cfg.train, "coord_label_smooth_sigma", 0.0)
 
     def loss_fn(params, images, y, rngs):
         y_input = y[:, 1:-1] if aligned else y[:, :-1]
@@ -109,7 +110,8 @@ def make_train_step(model, cfg, apply_fn=None):
 
         total, metrics = losses.composite_loss(
             logits, y_expected, params, giou_loss, iou_loss_weight=iou_w,
-            l1_lambda=l1_lambda, replicate_nondiff_giou=replicate)
+            l1_lambda=l1_lambda, replicate_nondiff_giou=replicate,
+            coord_sigma=coord_sigma, num_bins=num_bins)
         metrics.update(box_metrics)
         return total, metrics
 

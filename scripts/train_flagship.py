@@ -54,6 +54,9 @@ def main():
                     "seconds instead of minutes over the device tunnel")
     ap.add_argument("--grad-clip", type=float, default=0.0,
                     help="global-norm gradient clip (0 = off)")
+    ap.add_argument("--coord-sigma", type=float, default=0.0,
+                    help="Gaussian label smoothing over coordinate bins "
+                    "(sigma in bins; 0 = one-hot CE)")
     ap.add_argument("--skip-quality", action="store_true",
                     help="skip the post-training quality measurement")
     ap.add_argument("--max-lr", type=float, default=0.0,
@@ -92,6 +95,9 @@ def main():
     if args.grad_clip:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, grad_clip_norm=args.grad_clip))
+    if args.coord_sigma:
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, coord_label_smooth_sigma=args.coord_sigma))
     # dropout overrides: the post-norm stack trained at the reference's 0.4
     # elementwise dropout sees ~1.3x larger activation variance than at
     # eval; on the synthetic task the model co-adapts and deterministic

@@ -26,6 +26,39 @@ class TestLosses:
             jnp.asarray(logits), jnp.asarray(targets)))
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
+    def test_coord_smoothed_ce_sigma0_is_plain_ce(self):
+        rng = np.random.default_rng(1)
+        logits = jnp.asarray(rng.normal(size=(2, 6, 310)).astype(np.float32))
+        targets = jnp.asarray(rng.integers(0, 305, size=(2, 6)))
+        a = losses.cross_entropy_ignore_pad(logits, targets)
+        b = losses.coord_smoothed_cross_entropy(logits, targets,
+                                                num_bins=224, sigma=0.0)
+        np.testing.assert_allclose(float(a), float(b))
+
+    def test_coord_smoothing_rewards_near_miss(self):
+        """A 1-bin coordinate miss must cost less than a 50-bin miss under
+        smoothing, while one-hot CE prices them identically."""
+        num_bins, v = 224, 310
+        tgt = jnp.asarray([[100]])
+        mk = lambda peak: jnp.zeros((1, 1, v)).at[0, 0, peak].set(8.0)
+        near, far = mk(101), mk(150)
+        sig = lambda lg: float(losses.coord_smoothed_cross_entropy(
+            lg, tgt, num_bins=num_bins, sigma=2.0))
+        hard = lambda lg: float(losses.cross_entropy_ignore_pad(lg, tgt))
+        assert sig(near) < sig(far)
+        np.testing.assert_allclose(hard(near), hard(far), rtol=1e-6)
+
+    def test_coord_smoothing_leaves_word_targets_one_hot(self):
+        """Targets outside the coordinate window (labels/words/specials)
+        must be priced exactly like plain CE."""
+        rng = np.random.default_rng(2)
+        logits = jnp.asarray(rng.normal(size=(2, 5, 310)).astype(np.float32))
+        targets = jnp.asarray(rng.integers(258, 305, size=(2, 5)))  # no coords
+        a = losses.cross_entropy_ignore_pad(logits, targets)
+        b = losses.coord_smoothed_cross_entropy(logits, targets,
+                                                num_bins=224, sigma=2.0)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-6)
+
     def test_l1_is_sum_of_abs(self):
         params = {"a": jnp.array([1.0, -2.0]), "b": {"c": jnp.array([[3.0]])}}
         assert float(losses.l1_regularization(params)) == 6.0
