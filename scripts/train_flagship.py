@@ -138,10 +138,16 @@ def main():
 
     logger = MetricLogger()
     ckpt = CheckpointManager(args.out, max_to_keep=1)
+    # params-only resume restarts state.step at 0; keep SAVED step numbers
+    # monotonic past the source checkpoint or orbax's max_to_keep GC keeps
+    # the old higher-numbered step and silently deletes every new save
+    # (lost a 112-epoch run to this)
+    step_base = 0
     if args.resume_params and ckpt.latest_step() is not None:
+        step_base = ckpt.latest_step()
         params = ckpt.restore_params(model, cfg)
         state = state.replace(params=jax.device_put(params))
-        print(f"resumed params from step {ckpt.latest_step()}", flush=True)
+        print(f"resumed params from step {step_base}", flush=True)
     elif args.resume and ckpt.latest_step() is not None:
         state = ckpt.restore(state)
         print(f"resumed from step {int(state.step)}", flush=True)
@@ -156,8 +162,9 @@ def main():
         # saving round-trips ~1.5 GB through the device tunnel (~90 s);
         # amortize over several epochs
         if epoch % 5 == 4 or epoch == args.epochs - 1:
-            ckpt.save(state)
-    print(f"saved step={int(state.step)} -> {args.out}", flush=True)
+            ckpt.save(state, step=step_base + int(state.step))
+    print(f"saved step={step_base + int(state.step)} -> {args.out}",
+          flush=True)
 
     # quick workload probe: generation length with early exit
     from mdcnet_tpu.config import EOS_ID
