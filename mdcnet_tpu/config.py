@@ -99,6 +99,8 @@ class ModelConfig:
     enc_out_dim: int = 1024        # bottleneck AdaptiveAvgPool1d target (model.py:19)
     enc_cls_token: bool = True     # streaming (context-parallel) config: False
     enc_gelu_approx: bool = False  # tanh GELU in encoder MLPs (serving knob)
+    enc_fuse_qkv: bool = True   # pack q/k/v into one matmul in encoder
+    # self-attention (numerically identical; fewer HBM reads + op launches)
     # decoder
     vocab_size: int = 332          # len(word vocab)=27 + code vocab 305 (trail_01.py:114)
     dec_dim: int = 1024

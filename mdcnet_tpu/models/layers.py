@@ -54,6 +54,10 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     ring_axis: Optional[str] = None
     use_flash: bool = False  # Pallas blockwise attention (long sequences)
+    fuse_qkv: bool = False  # pack q/k/v into ONE matmul for self-attention
+    # (same reduction per output column -> numerically identical; saves two
+    # HBM reads of the input and two op launches per block; params stay
+    # three separate Dense so checkpoints/converters are unaffected)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -72,12 +76,30 @@ class MultiHeadAttention(nn.Module):
         self.v_proj = nn.Dense(self.dim, **kw)
         self.out_proj = nn.Dense(self.dim, **kw)
 
+    def _fused_qkv(self, x: jnp.ndarray):
+        """q/k/v via one packed (D, 3D) matmul; init-time falls back to the
+        three Dense calls so the param tree is created normally."""
+        pk = lambda m: m.variables["params"]
+        w = jnp.concatenate(
+            [pk(m)["kernel"] for m in (self.q_proj, self.k_proj,
+                                       self.v_proj)], axis=1
+        ).astype(self.dtype)
+        b = jnp.concatenate(
+            [pk(m)["bias"] for m in (self.q_proj, self.k_proj, self.v_proj)]
+        ).astype(self.dtype)
+        qkv = x.astype(self.dtype) @ w + b
+        return jnp.split(qkv, 3, axis=-1)
+
     def __call__(self, query: jnp.ndarray, key: jnp.ndarray,
                  value: jnp.ndarray, bias: Optional[jnp.ndarray] = None
                  ) -> jnp.ndarray:
-        q = self.head_split(self.q_proj(query))
-        k = self.head_split(self.k_proj(key))
-        v = self.head_split(self.v_proj(value))
+        if (self.fuse_qkv and query is key and key is value
+                and not self.is_initializing()):
+            q, k, v = map(self.head_split, self._fused_qkv(query))
+        else:
+            q = self.head_split(self.q_proj(query))
+            k = self.head_split(self.k_proj(key))
+            v = self.head_split(self.v_proj(value))
         if self.ring_axis is not None:
             from mdcnet_tpu.parallel.context import ring_attention
             assert bias is None, "ring attention path is bias-free (encoder)"

@@ -69,6 +69,7 @@ class ViTBlock(nn.Module):
     layerscale_init: float = 1e-6
     ring_axis: Optional[str] = None
     use_flash: bool = False
+    fuse_qkv: bool = False  # q/k/v as one packed matmul (see layers.py)
     gelu_approx: bool = False  # tanh-approx GELU (serving knob; exact erf
     # matches timm/torch bit-for-bit and stays the parity default)
     dtype: Dtype = jnp.float32
@@ -84,7 +85,8 @@ class ViTBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, **kw, name="norm1")(x)
         h = MultiHeadAttention(self.dim, self.num_heads,
                                ring_axis=self.ring_axis,
-                               use_flash=self.use_flash, **kw,
+                               use_flash=self.use_flash,
+                               fuse_qkv=self.fuse_qkv, **kw,
                                name="attn")(h, h, h)
         x = x + h * ls("gamma1")
 
@@ -119,6 +121,7 @@ class ViTEncoder(nn.Module):
     use_cls_token: bool = True
     ring_axis: Optional[str] = None
     use_flash: bool = False  # Pallas blockwise attention in the blocks
+    fuse_qkv: bool = False   # packed qkv matmul in block self-attention
     gelu_approx: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
@@ -142,6 +145,7 @@ class ViTEncoder(nn.Module):
                                 self.layerscale_init,
                                 ring_axis=self.ring_axis,
                                 use_flash=self.use_flash,
+                                fuse_qkv=self.fuse_qkv,
                                 gelu_approx=self.gelu_approx, **kw,
                                 name=f"block{i}")
                        for i in range(self.depth)]

@@ -11,6 +11,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+import jax
 import jax.numpy as jnp
 
 from mdcnet_tpu.models.torch_convert import convert_encoder
@@ -114,3 +115,26 @@ class TestEncoderParity:
         got = np.asarray(jmodel.apply(params, jnp.asarray(images)))
         assert got.shape == want.shape == (2, (IMG // PATCH) ** 2, OUT)
         np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+class TestFusedQKV:
+    def test_fused_matches_unfused(self):
+        """enc_fuse_qkv packs q/k/v into one matmul — same params, same
+        output (one shared reduction order per output column)."""
+        base = ViTEncoder(patch_size=PATCH, img_size=IMG, dim=DIM,
+                          depth=DEPTH, num_heads=HEADS, out_dim=OUT)
+        fused = ViTEncoder(patch_size=PATCH, img_size=IMG, dim=DIM,
+                           depth=DEPTH, num_heads=HEADS, out_dim=OUT,
+                           fuse_qkv=True)
+        rng = np.random.default_rng(1)
+        images = jnp.asarray(rng.normal(size=(2, IMG, IMG, 3)),
+                             jnp.float32)
+        params = base.init(jax.random.PRNGKey(0), images)
+        # identical param tree: fusion concatenates at apply time
+        a = jax.tree_util.tree_structure(params)
+        b = jax.tree_util.tree_structure(
+            fused.init(jax.random.PRNGKey(0), images))
+        assert a == b
+        want = np.asarray(base.apply(params, images))
+        got = np.asarray(fused.apply(params, images))
+        np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
