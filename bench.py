@@ -77,7 +77,7 @@ def main():
     model = build_model(cfg.model)
     params, workload = load_params(model, cfg)
 
-    batch = 256
+    batch = int(os.environ.get("MDCNET_BENCH_BATCH", "256"))
     steps = cfg.infer.generation_steps  # 101, capped to 98 inside generate
 
     images = jax.random.uniform(

@@ -101,6 +101,8 @@ class ModelConfig:
     enc_gelu_approx: bool = False  # tanh GELU in encoder MLPs (serving knob)
     enc_fuse_qkv: bool = True   # pack q/k/v into one matmul in encoder
     # self-attention (numerically identical; fewer HBM reads + op launches)
+    enc_scan_blocks: bool = False  # lax.scan over stacked block params
+    # (12x fewer HLO ops; same checkpoint tree — stacked in-forward)
     # decoder
     vocab_size: int = 332          # len(word vocab)=27 + code vocab 305 (trail_01.py:114)
     dec_dim: int = 1024

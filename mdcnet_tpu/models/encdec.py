@@ -70,7 +70,8 @@ def build_model(cfg) -> EncoderDecoder:
         layerscale_init=cfg.enc_layerscale_init, out_dim=cfg.enc_out_dim,
         use_cls_token=cfg.enc_cls_token,
         gelu_approx=getattr(cfg, 'enc_gelu_approx', False),
-        fuse_qkv=getattr(cfg, 'enc_fuse_qkv', True), dtype=dtype,
+        fuse_qkv=getattr(cfg, 'enc_fuse_qkv', True),
+        scan_blocks=getattr(cfg, 'enc_scan_blocks', False), dtype=dtype,
         param_dtype=param_dtype)
     if cfg.axial:
         from mdcnet_tpu.models.axial import AxialCaptionDecoder

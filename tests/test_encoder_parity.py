@@ -138,3 +138,24 @@ class TestFusedQKV:
         want = np.asarray(base.apply(params, images))
         got = np.asarray(fused.apply(params, images))
         np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
+
+
+class TestScanBlocks:
+    def test_scan_matches_loop(self):
+        """enc_scan_blocks runs the stack as one lax.scan over stacked
+        params — same params tree, same output as the unrolled loop."""
+        base = ViTEncoder(patch_size=PATCH, img_size=IMG, dim=DIM,
+                          depth=DEPTH, num_heads=HEADS, out_dim=OUT)
+        scan = ViTEncoder(patch_size=PATCH, img_size=IMG, dim=DIM,
+                          depth=DEPTH, num_heads=HEADS, out_dim=OUT,
+                          scan_blocks=True)
+        rng = np.random.default_rng(2)
+        images = jnp.asarray(rng.normal(size=(2, IMG, IMG, 3)),
+                             jnp.float32)
+        params = base.init(jax.random.PRNGKey(0), images)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(
+                    scan.init(jax.random.PRNGKey(0), images)))
+        want = np.asarray(base.apply(params, images))
+        got = np.asarray(scan.apply(params, images))
+        np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
