@@ -87,6 +87,21 @@ def main():
         f = jax.jit(lambda p, x: m.apply(p, x))
         report("encoder_full_flash", timed(lambda: f(params, images),
                                            args.iters), B)
+    if want("fuse"):
+        m = enc(fuse_qkv=True)
+        f = jax.jit(lambda p, x: m.apply(p, x))
+        report("encoder_full_fused_qkv", timed(lambda: f(params, images),
+                                               args.iters), B)
+    if want("scan"):
+        m = enc(scan_blocks=True, fuse_qkv=True)
+        f = jax.jit(lambda p, x: m.apply(p, x))
+        report("encoder_full_scan_fused", timed(lambda: f(params, images),
+                                                args.iters), B)
+    if want("combo"):
+        m = enc(fuse_qkv=True, gelu_approx=True)
+        f = jax.jit(lambda p, x: m.apply(p, x))
+        report("encoder_full_fused_tanh", timed(lambda: f(params, images),
+                                                args.iters), B)
 
     if want("stages"):
         f_embed = jax.jit(lambda p, x: base.apply(p, x, method="embed"))

@@ -77,15 +77,25 @@ class TestRenderDefects:
         labels = np.zeros((n,), np.int32)
         boxes = np.tile(np.array([20, 20, 200, 200], np.float32), (n, 1))
         seeds = np.arange(n, dtype=np.uint64)
-        t0 = time.perf_counter()
-        native.render_defects(labels, boxes, seeds, size)
-        t_native = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for i in range(n):
-            syn.render_defect_image(258, boxes[i], size,
-                                    np.random.default_rng(i))
-        t_py = time.perf_counter() - t0
-        assert t_native < t_py, (t_native, t_py)
+
+        def t_native():
+            t0 = time.perf_counter()
+            native.render_defects(labels, boxes, seeds, size)
+            return time.perf_counter() - t0
+
+        def t_py():
+            t0 = time.perf_counter()
+            for i in range(n):
+                syn.render_defect_image(258, boxes[i], size,
+                                        np.random.default_rng(i))
+            return time.perf_counter() - t0
+
+        # warm both (dlopen/build on first native call), min-of-3: wall
+        # timings on a contended 1-vCPU host are noisy
+        t_native(), t_py()
+        tn = min(t_native() for _ in range(3))
+        tp = min(t_py() for _ in range(3))
+        assert tn < tp, (tn, tp)
 
 
 class TestPipelinePrefill:
