@@ -102,10 +102,28 @@ def differentiable_giou_loss(logits: jnp.ndarray, y_expected: jnp.ndarray,
     coordinates at the positions the GT structure dictates (teacher forcing
     makes GT and logit positions coincide); GT boxes come from the GT
     coordinate tokens.  The fix-behind-a-flag for the reference's
-    non-differentiable sampled-token GIoU (SURVEY §7 hard parts)."""
-    from mdcnet_tpu.config import LABEL_END, LABEL_START
+    non-differentiable sampled-token GIoU (SURVEY §7 hard parts).
 
-    in_window = (y_expected >= LABEL_START) & (y_expected <= LABEL_END)
+    Label anchoring: the caption CONTAINS the defect-class word, which the
+    reference vocabulary encodes with the SAME id as the label token
+    (data_processing.py:17-33 — class words are predefined ids 258-267), so
+    the label slot is the first in-window token AFTER the first CAP_END,
+    exactly like the reference's decode cursor (data_processing.py:556-598,
+    mirrored in text/decode_jax.decode_groups).  Anchoring on the first
+    in-window token anywhere silently reads caption-word positions and the
+    loss degenerates to a constant ~1.33 (round-3 bug: it froze every
+    --diff-giou run's GIoU while CE kept converging)."""
+    from mdcnet_tpu.config import CAPTION_END_ID, LABEL_END, LABEL_START
+
+    L = y_expected.shape[1]
+    pos = jnp.arange(L)[None, :]
+    cap_end = y_expected == CAPTION_END_ID
+    # caption-less sequences (NEU-style label-first) have no CAP_END: treat
+    # the caption as ending before position 0 so the whole row is searched
+    eoc = jnp.where(jnp.any(cap_end, axis=-1), jnp.argmax(cap_end, axis=-1),
+                    -1)
+    in_window = ((y_expected >= LABEL_START) & (y_expected <= LABEL_END)
+                 & (pos > eoc[:, None]))
     has_label = jnp.any(in_window, axis=-1)
     label_pos = jnp.argmax(in_window, axis=-1)
 
@@ -117,6 +135,12 @@ def differentiable_giou_loss(logits: jnp.ndarray, y_expected: jnp.ndarray,
     scale = scale / (num_bins - 1)
     pred = pred * scale
     gt = gt * scale
+    # order the predicted corners: the four expected coordinates are
+    # independent, and an inverted box (x1 < x0) makes pairwise_giou's
+    # union/IoU unbounded (the round-3 --diff-giou divergence).  min/max is
+    # differentiable a.e. and keeps GIoU in [-1, 1].
+    pred = jnp.concatenate([jnp.minimum(pred[:, :2], pred[:, 2:]),
+                            jnp.maximum(pred[:, :2], pred[:, 2:])], axis=-1)
     giou = box_ops.pairwise_giou(pred[:, None, :], gt[:, None, :])[:, 0, 0]
     per_image = jnp.where(has_label, 1.0 - giou, 0.0)
     n = jnp.maximum(jnp.sum(has_label), 1)

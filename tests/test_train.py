@@ -190,6 +190,64 @@ class TestDifferentiableGiou:
         assert np.abs(g[:, 4:8, :224]).sum() > 0
         assert np.abs(g[:, :4]).sum() == 0
 
+    def test_label_anchor_skips_caption_class_word(self):
+        """The caption contains the defect-class WORD under the same id as
+        the label token (data_processing.py:17-33); the loss must anchor on
+        the label slot after CAP_END, not the caption word.  Round-3
+        regression: the wrong anchor froze every --diff-giou run at a
+        constant ~1.33 GIoU."""
+        from mdcnet_tpu.train.losses import differentiable_giou_loss
+        rng = np.random.default_rng(1)
+        logits = jnp.asarray(rng.normal(size=(1, 14, 332)).astype(np.float32))
+        # [CAP_START, 'the', 'silk_spot'(=263!), 'left', CAP_END,
+        #  label=263, x0, y0, x1, y1, EOS, PAD...]
+        y = np.full((1, 14), PAD_ID, np.int32)
+        y[0, :11] = [303, 270, 263, 271, 304, 263, 10, 20, 110, 120, 301]
+        y = jnp.asarray(y)
+        loss, grads = jax.value_and_grad(
+            lambda lg: differentiable_giou_loss(lg, y, 224, 224, 224))(logits)
+        assert np.isfinite(float(loss))
+        g = np.asarray(grads)
+        # true coordinate positions 6..9 carry gradient
+        assert np.abs(g[:, 6:10, :224]).sum() > 0
+        # caption positions (incl. the class word at 2 and its following
+        # words) carry none
+        assert np.abs(g[:, :6]).sum() == 0
+
+    def test_loss_bounded_for_inverted_expected_boxes(self):
+        """Expected coordinates are independent softmax means; when the
+        model is untrained x1 < x0 happens routinely and an unordered box
+        makes GIoU unbounded (round-3 divergence: giou metric hit -74 and
+        its gradient destroyed the run).  The loss must stay in [0, 2]."""
+        from mdcnet_tpu.train.losses import differentiable_giou_loss
+        y = np.full((4, 14), PAD_ID, np.int32)
+        y[:, :11] = [303, 270, 263, 271, 304, 263, 10, 20, 110, 120, 301]
+        rng = np.random.default_rng(3)
+        # strongly peaked logits forcing inverted expected boxes
+        logits = np.full((4, 14, 332), -20.0, np.float32)
+        logits[:, 6, 200] = 20.0   # x0 -> ~200
+        logits[:, 7, 180] = 20.0   # y0 -> ~180
+        logits[:, 8, 5] = 20.0     # x1 -> ~5   (inverted)
+        logits[:, 9, 3] = 20.0     # y1 -> ~3   (inverted)
+        loss = differentiable_giou_loss(jnp.asarray(logits), jnp.asarray(y),
+                                        224, 224, 224)
+        assert 0.0 <= float(loss) <= 2.0
+
+    def test_caption_less_sequence_still_anchors(self):
+        """NEU-style label-first sequences have no CAP_START/END; the label
+        search must then cover the whole row."""
+        from mdcnet_tpu.train.losses import differentiable_giou_loss
+        rng = np.random.default_rng(2)
+        logits = jnp.asarray(rng.normal(size=(1, 10, 332)).astype(np.float32))
+        y = np.full((1, 10), PAD_ID, np.int32)
+        y[0, :6] = [260, 10, 20, 110, 120, 301]
+        y = jnp.asarray(y)
+        loss, grads = jax.value_and_grad(
+            lambda lg: differentiable_giou_loss(lg, y, 224, 224, 224))(logits)
+        assert np.isfinite(float(loss))
+        g = np.asarray(grads)
+        assert np.abs(g[:, 1:5, :224]).sum() > 0
+
     def test_train_step_with_fix_flag(self):
         import dataclasses
         from mdcnet_tpu.config import test_preset
