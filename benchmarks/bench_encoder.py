@@ -23,15 +23,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, iters=5):
-    np.asarray(jax.tree_util.tree_leaves(fn())[0]).ravel()[:1]
+def timed(fn, iters=5, k=20):
+    """Per-call device time with the tunnel overheads amortized away.
+
+    Tunnel facts that shape this: (a) the only fence is a device->host
+    readback and its round trip is ~28 ms — fencing every call swamps any
+    sub-30ms kernel, so dispatch ``k`` calls back-to-back (device executions
+    serialize) and fence ONCE; (b) the fence readback must be one element
+    sliced ON DEVICE (np.asarray of the full output pulls 205 MB); (c) the
+    first 1-2 executions of a program can be 100x slower (server warm-up).
+    """
+    def fence(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(leaf.ravel()[:1])
+
+    for _ in range(2):
+        fence(fn())
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn()
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        out = None
+        for _ in range(k):
+            out = fn()
+        fence(out)
+        times.append((time.perf_counter() - t0) / k)
+    return float(np.min(times))
 
 
 def report(name, ms, batch, **kw):
@@ -65,6 +81,7 @@ def main():
                   num_heads=cfg.enc_heads, mlp_ratio=cfg.enc_mlp_ratio,
                   layerscale_init=cfg.enc_layerscale_init,
                   out_dim=cfg.enc_out_dim, use_cls_token=cfg.enc_cls_token,
+                  fuse_qkv=cfg.enc_fuse_qkv,  # production default
                   dtype=jnp.dtype(cfg.dtype),
                   param_dtype=jnp.dtype(cfg.param_dtype))
         kw.update(over)

@@ -187,6 +187,10 @@ class ViTEncoder(nn.Module):
             stacked = jax.tree_util.tree_map(
                 lambda *leaves: jnp.stack(leaves), *ps)
             blk = self.blocks[0]
+            # the LayerScale residual add upcasts to param_dtype, so the
+            # steady-state carry dtype is promote(x, param_dtype); cast up
+            # front or the scan carry types mismatch after block 0
+            x = x.astype(jnp.promote_types(x.dtype, self.param_dtype))
 
             def body(h, p):
                 return blk.apply({"params": p}, h), None
