@@ -1,0 +1,226 @@
+"""Exactness-preserving speculative decoding for the caption sequence.
+
+GC10 captions are template text ("The defect {class} is located at the
+{position} of the image.") followed by a fixed structural tail
+[CAP_END, label, x0, y0, x1, y1, EOS] (data_processing.py:264-290) — well
+over half the ~21 generated tokens are deterministic given their prefix.
+Greedy decoding still pays one full KV-cached decoder step per token, and
+each step's cost is dominated by streaming the cross-attention K/V + cache
+from HBM, not by the single token's compute (docs/PERF.md).
+
+This module drafts K-1 cheap guesses per step and verifies them in ONE
+multi-token decoder call (``decode_block``): per verify step each row
+commits 1 + (length of the matching draft prefix) tokens.  Verification
+accepts exactly the tokens greedy argmax would have produced, so the output
+is token-for-token identical to ``generate(greedy=True)`` — mismatched
+drafts only cost speed, never correctness (tests/test_speculative.py).
+
+The drafter is data-derived and runs entirely on device:
+  - a trigram table (argmax next-token by (prev2, prev1)) built from the
+    training annotations, with bigram backoff — this nails the caption
+    template words;
+  - a copy rule: the label token after CAP_END equals the class word
+    already emitted inside the caption (same vocabulary id window 258-267,
+    data_processing.py:17-33), so it is drafted by copying;
+  - a structure rule: the 5th token after CAP_END (after label + 4 coords)
+    is drafted as EOS.
+Box coordinate tokens are genuinely content-bearing and stay sequential.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mdcnet_tpu.config import (BOS_ID, CAPTION_END_ID, EOS_ID, LABEL_END,
+                               LABEL_START, PAD_ID)
+from mdcnet_tpu.infer.generate import GenerateResult
+from mdcnet_tpu.ops.sampling import top_k_top_p_filtering
+
+
+class DraftTables(NamedTuple):
+    """Dense next-token argmax tables; -1 where the context was never seen."""
+    trigram: jnp.ndarray   # (V, V) int32: [prev2, prev1] -> next or -1
+    bigram: jnp.ndarray    # (V,) int32: [prev1] -> next or -1
+
+
+def build_draft_tables(sequences: Sequence[np.ndarray],
+                       vocab_size: int) -> DraftTables:
+    """Count-based argmax tables from tokenized training sequences (each a
+    1-D int array, PAD-tailed; counted up to and including the first EOS)."""
+    from collections import Counter
+
+    tri: dict = {}
+    bi: dict = {}
+    for seq in sequences:
+        seq = np.asarray(seq)
+        eos = np.flatnonzero(seq == EOS_ID)
+        end = int(eos[0]) + 1 if eos.size else len(seq)
+        s = seq[:end]
+        # drafting is best-effort: ids outside the model vocabulary (e.g.
+        # unresized pixel coords) are skipped, never counted
+        ok = (s >= 0) & (s < vocab_size)
+        for i in range(1, len(s)):
+            if not (ok[i] and ok[i - 1]):
+                continue
+            bi.setdefault(int(s[i - 1]), Counter())[int(s[i])] += 1
+            if i >= 2 and ok[i - 2]:
+                tri.setdefault((int(s[i - 2]), int(s[i - 1])),
+                               Counter())[int(s[i])] += 1
+    tri_tab = np.full((vocab_size, vocab_size), -1, np.int32)
+    for (a, b), ctr in tri.items():
+        tri_tab[a, b] = ctr.most_common(1)[0][0]
+    bi_tab = np.full((vocab_size,), -1, np.int32)
+    for a, ctr in bi.items():
+        bi_tab[a] = ctr.most_common(1)[0][0]
+    return DraftTables(jnp.asarray(tri_tab), jnp.asarray(bi_tab))
+
+
+def _draft(tables: DraftTables, prev2: jnp.ndarray, prev: jnp.ndarray,
+           cls_tok: jnp.ndarray, since_cap_end: jnp.ndarray, k: int
+           ) -> jnp.ndarray:
+    """Roll the drafter automaton k-1 steps.  All args (B,).  Returns
+    drafts (B, k-1)."""
+
+    def step(carry, _):
+        p2, p1, since = carry
+        nxt = tables.trigram[p2, p1]
+        nxt = jnp.where(nxt < 0, tables.bigram[p1], nxt)
+        nxt = jnp.where(nxt < 0, PAD_ID, nxt)
+        # structural tail: CAP_END -> copied class label; 5 tokens after
+        # CAP_END (label + 4 coords emitted) -> EOS
+        nxt = jnp.where(p1 == CAPTION_END_ID, cls_tok, nxt)
+        nxt = jnp.where(since == 5, EOS_ID, nxt)
+        nxt = jnp.where((p1 == EOS_ID) | (p1 == PAD_ID), PAD_ID, nxt)
+        since = jnp.where(nxt == CAPTION_END_ID, 0,
+                          jnp.where(since >= 0, since + 1, since))
+        return (p1, nxt, since), nxt
+
+    since0 = jnp.where(prev == CAPTION_END_ID, 0, since_cap_end)
+    _, drafts = jax.lax.scan(step, (prev2, prev, since0), None, length=k - 1)
+    return drafts.T        # (B, k-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "steps", "draft_k", "top_k", "top_p",
+                     "conf_every", "temperature"))
+def generate_speculative(model, params, images: jnp.ndarray,
+                         tables: DraftTables, steps: int = 101,
+                         draft_k: int = 8, top_k: int = 0,
+                         top_p: float = 1.0, conf_every: int = 4,
+                         temperature: float = 1.0) -> GenerateResult:
+    """Greedy generation with draft-K verification; output tokens identical
+    to ``generate(greedy=True, early_exit=True)``; confidences identical at
+    every committed (pre-EOS) position."""
+    encoder_out = model.apply(params, images, method="encode")
+    return generate_speculative_from_memory(
+        model, params, encoder_out, tables, steps=steps, draft_k=draft_k,
+        top_k=top_k, top_p=top_p, conf_every=conf_every,
+        temperature=temperature)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "steps", "draft_k", "top_k", "top_p",
+                     "conf_every", "temperature"))
+def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
+                                     tables: DraftTables, steps: int = 101,
+                                     draft_k: int = 8, top_k: int = 0,
+                                     top_p: float = 1.0, conf_every: int = 4,
+                                     temperature: float = 1.0
+                                     ) -> GenerateResult:
+    decoder = model.decoder
+    assert getattr(decoder, "prepend_bos", True), \
+        "speculative decode requires the standard causal decoder"
+    batch = encoder_out.shape[0]
+    cache_len = decoder.max_len - 1
+    steps = min(steps, cache_len - 1)
+    k_blk = min(draft_k, steps)
+    n_confs = (steps + conf_every - 1) // conf_every
+
+    mem_kvs = model.apply(params, encoder_out,
+                          method=lambda m, e: m.decoder.prepare_memory(e))
+    # +k_blk slack: draft slots beyond the commit point are overwritten by
+    # the next block before they ever become attendable
+    caches = decoder.init_cache(batch, cache_len + k_blk)
+
+    rows = jnp.arange(batch)
+    # one dump column past the live region absorbs masked scatters
+    tokens0 = jnp.full((batch, steps + 2), PAD_ID, jnp.int32
+                       ).at[:, 0].set(BOS_ID)
+    confs0 = jnp.zeros((batch, steps + 1), jnp.float32)
+
+    def cond_fn(state):
+        return jnp.logical_not(jnp.all(state[4]))
+
+    def body_fn(state):
+        pos, last, prev2, cls_tok, finished, since, tokens, confs, caches \
+            = state
+        drafts = _draft(tables, prev2, last, cls_tok, since, k_blk)
+        block = jnp.concatenate([last[:, None], drafts], axis=1)  # (B,K)
+        logits, caches = model.apply(
+            params, block, pos, caches, mem_kvs,
+            method=lambda m, *a: m.decoder.decode_block(*a))
+        logits = logits / temperature
+        filtered = top_k_top_p_filtering(
+            logits.reshape(batch * k_blk, -1), top_k, top_p
+        ).reshape(batch, k_blk, -1)
+        probs = jax.nn.softmax(filtered, axis=-1)
+        conf = jnp.max(probs, axis=-1)                   # (B, K)
+        out = jnp.argmax(filtered, axis=-1).astype(jnp.int32)  # (B, K)
+
+        # committed count: 1 + longest draft prefix that matched AND did not
+        # pass an EOS (greedy freezes at PAD after EOS); clamp to the budget
+        match = (out[:, :-1] == drafts) & (out[:, :-1] != EOS_ID)
+        alive = jnp.cumprod(match.astype(jnp.int32), axis=1)
+        acc = 1 + alive.sum(axis=1)                      # (B,) in [1, K]
+        acc = jnp.minimum(acc, steps - pos)
+        acc = jnp.where(finished, 0, acc)
+
+        j_idx = jnp.arange(k_blk)[None, :]
+        commit = j_idx < acc[:, None]                    # (B, K)
+        # scatter committed tokens/confs; masked lanes hit the dump column
+        tcol = jnp.where(commit, pos[:, None] + 1 + j_idx, steps + 1)
+        tokens = tokens.at[rows[:, None], tcol].set(
+            jnp.where(commit, out, tokens[rows[:, None], tcol]))
+        ccol = jnp.where(commit, pos[:, None] + j_idx, steps)
+        confs = confs.at[rows[:, None], ccol].set(
+            jnp.where(commit, conf, confs[rows[:, None], ccol]))
+
+        hit_eos = ((out == EOS_ID) & commit).any(axis=1)
+        new_pos = pos + acc
+        # committed-token bookkeeping for the next draft round
+        last_new = tokens[rows, new_pos]
+        prev2_new = tokens[rows, jnp.maximum(new_pos - 1, 0)]
+        is_cls = (out >= LABEL_START) & (out <= LABEL_END) & commit
+        cap_seen = (out == CAPTION_END_ID) & commit
+        # class word inside the caption (before CAP_END) -> copy source
+        before_cap = jnp.cumsum(cap_seen.astype(jnp.int32), axis=1) == 0
+        cls_in_blk = jnp.where(is_cls & before_cap & (since < 0)[:, None],
+                               out, -1).max(axis=1)
+        cls_tok = jnp.where(cls_in_blk >= 0, cls_in_blk, cls_tok)
+        # tokens emitted after CAP_END so far (drives the EOS structure rule)
+        after = (jnp.cumsum(cap_seen.astype(jnp.int32), axis=1) > 0) & commit
+        n_after = (after.sum(axis=1)
+                   - cap_seen.any(axis=1).astype(jnp.int32))
+        since = jnp.where(cap_seen.any(axis=1), n_after,
+                          jnp.where(since >= 0, since + acc, since))
+        finished = finished | hit_eos | (new_pos >= steps)
+        return (new_pos, last_new, prev2_new, cls_tok, finished, since,
+                tokens, confs, caches)
+
+    state = (jnp.zeros((batch,), jnp.int32),            # pos
+             jnp.full((batch,), BOS_ID, jnp.int32),     # last committed
+             jnp.full((batch,), PAD_ID, jnp.int32),     # prev2
+             jnp.full((batch,), PAD_ID, jnp.int32),     # cls copy source
+             jnp.zeros((batch,), bool),                 # finished
+             jnp.full((batch,), -1, jnp.int32),         # tokens since CAP_END
+             tokens0, confs0, caches)
+    state = jax.lax.while_loop(cond_fn, body_fn, state)
+    tokens, confs = state[6], state[7]
+    return GenerateResult(tokens=tokens[:, : steps + 1],
+                          confs=confs[:, :steps][:, ::conf_every][:, :n_confs])

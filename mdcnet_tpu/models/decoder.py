@@ -198,3 +198,27 @@ class CaptionDecoder(nn.Module):
                                          mem_pos=mem_pos)
             new_caches.append(cache)
         return self.output(x)[:, 0], new_caches
+
+    def decode_block(self, tokens: jnp.ndarray, pos: jnp.ndarray,
+                     caches: List[Tuple[jnp.ndarray, jnp.ndarray]],
+                     mem_kvs: List[Tuple[jnp.ndarray, jnp.ndarray]]
+                     ) -> Tuple[jnp.ndarray, List[Tuple[jnp.ndarray, jnp.ndarray]]]:
+        """K-token decode for speculative verification.  tokens: (B, K) —
+        each row's last committed token followed by K-1 drafts; pos: (B,)
+        per-row positions (the slot the first token is written to).
+        Returns (logits (B, K, V), updated caches); logits[:, j] predicts
+        the token at position pos + j + 1 given the draft prefix."""
+        pe = self.decoder_pos_embed.astype(self.dtype)[0]   # (max_len-1, D)
+        cols = pos[:, None] + jnp.arange(tokens.shape[1])[None, :]
+        # clamp the pos-embed gather: draft slots past max_len-2 only produce
+        # logits that are never committed (steps <= max_len-2 caps pos)
+        pos_embed = jnp.take(pe, jnp.minimum(cols, pe.shape[0] - 1), axis=0)
+        x = self.embedding(tokens) + pos_embed
+        cache_alloc = caches[0][0].shape[2]
+        key_valid = (jnp.arange(cache_alloc)[None, None, :]
+                     <= cols[:, :, None])
+        new_caches = []
+        for layer, cache, mem_kv in zip(self.layers, caches, mem_kvs):
+            x, cache = layer.decode_block(x, cache, mem_kv, pos, key_valid)
+            new_caches.append(cache)
+        return self.output(x), new_caches

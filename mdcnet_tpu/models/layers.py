@@ -216,3 +216,51 @@ class TorchDecoderLayer(nn.Module):
         x = self.linear2(nn.relu(self.linear1(tgt)))
         tgt = self.norm3(tgt + x)
         return tgt, (k_cache, v_cache)
+
+    def decode_block(self, tgt: jnp.ndarray,
+                     kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
+                     mem_kv: Tuple[jnp.ndarray, jnp.ndarray],
+                     pos: jnp.ndarray, key_valid: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """K-token decode for speculative verification.  tgt: (B, K, D) —
+        the last committed token followed by K-1 draft tokens; pos: (B,)
+        per-row cache write offsets; key_valid: (B, K, L) bool — query j of
+        row b may attend cache slot l iff l <= pos[b] + j (committed prefix
+        plus the draft slots written this call, which is exactly
+        teacher-forcing on the draft).  Returns (out (B, K, D), caches).
+
+        Requires the unquantized cache (the megakernel / int8 paths have
+        their own loop)."""
+        from mdcnet_tpu.ops import kv_quant
+
+        k_cache, v_cache = kv_cache
+        assert not isinstance(k_cache, kv_quant.QuantKV), \
+            "speculative decode requires the unquantized cache"
+        b, k_blk = tgt.shape[0], tgt.shape[1]
+        q = self.self_attn.head_split(self.self_attn.q_proj(tgt))
+        k_new = self.self_attn.head_split(self.self_attn.k_proj(tgt))
+        v_new = self.self_attn.head_split(self.self_attn.v_proj(tgt))
+        rows = jnp.arange(b)[:, None]
+        cols = pos[:, None] + jnp.arange(k_blk)[None, :]        # (B, K)
+        # advanced-index scatter: (B,1) rows x (B,K) cols around the ':' head
+        # axis yields (B, K, H, Dh) — matching k_new transposed
+        k_cache = k_cache.at[rows, :, cols].set(
+            k_new.transpose(0, 2, 1, 3).astype(k_cache.dtype))
+        v_cache = v_cache.at[rows, :, cols].set(
+            v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype))
+        bias = jnp.where(key_valid[:, None], 0.0, NEG_INF).astype(jnp.float32)
+        x = dot_product_attention(q, k_cache, v_cache, bias)
+        x = self.self_attn.out_proj(self.self_attn.head_merge(x))
+        tgt = self.norm1(tgt + x)
+
+        mk, mv = mem_kv
+        assert not isinstance(mk, kv_quant.QuantKV), \
+            "speculative decode requires unquantized memory K/V"
+        q = self.cross_attn.head_split(self.cross_attn.q_proj(tgt))
+        x = dot_product_attention(q, mk, mv)
+        x = self.cross_attn.out_proj(self.cross_attn.head_merge(x))
+        tgt = self.norm2(tgt + x)
+
+        x = self.linear2(nn.relu(self.linear1(tgt)))
+        tgt = self.norm3(tgt + x)
+        return tgt, (k_cache, v_cache)
