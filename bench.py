@@ -85,13 +85,39 @@ def main():
         (batch, cfg.data.img_size, cfg.data.img_size, 3), jnp.float32)
 
     # serving path: XLA bf16 decode by default; MDCNET_BENCH_MEGAKERNEL=1
-    # switches to the whole-step int8 pallas kernel (ops/megakernel.py)
+    # switches to the whole-step int8 pallas kernel (ops/megakernel.py);
+    # MDCNET_BENCH_SPEC=1 runs draft-K verified speculative decoding
+    # (token-identical to greedy, benchmarks/bench_speculative.py)
     use_mk = os.environ.get("MDCNET_BENCH_MEGAKERNEL", "0") == "1"
+    use_spec = os.environ.get("MDCNET_BENCH_SPEC", "0") == "1"
 
-    def run(key):
-        return generate(model, params, images, key, steps=steps,
-                        greedy=True, early_exit=True,
-                        use_megakernel=use_mk).tokens
+    if use_spec:
+        from mdcnet_tpu.data import annotations as ann
+        from mdcnet_tpu.infer.speculative import (build_draft_tables,
+                                                  generate_speculative)
+        from mdcnet_tpu.text import SeqTokenizer, gc10_vocabulary
+
+        records = ann.txt_file_to_records(
+            "/root/reference/annotations_summary.txt", "/img")
+        vocab = gc10_vocabulary(records["caption"].tolist())
+        tokz = SeqTokenizer(vocab, 10, cfg.data.num_bins, cfg.data.img_size,
+                            cfg.data.img_size, max_len=cfg.data.max_len)
+        seqs = [np.asarray(tokz.process_single_pair(
+            int(records["label"][i]),
+            [min(float(records[c][i]), float(cfg.data.img_size))
+             for c in ("xmin", "ymin", "xmax", "ymax")],
+            records["caption"][i])) for i in range(len(records["label"]))]
+        tables = build_draft_tables(seqs, cfg.model.vocab_size)
+
+        def run(key):
+            del key  # speculative greedy path is deterministic
+            return generate_speculative(model, params, images, tables,
+                                        steps=steps).tokens
+    else:
+        def run(key):
+            return generate(model, params, images, key, steps=steps,
+                            greedy=True, early_exit=True,
+                            use_megakernel=use_mk).tokens
 
     np.asarray(run(jax.random.PRNGKey(2)))  # compile + warm
 

@@ -300,11 +300,23 @@ def cmd_serve(args):
         model, cfg,
         jnp.zeros((1, cfg.data.img_size, cfg.data.img_size, 3)),
         args.checkpoint)
+    tables = None
+    if args.speculative:
+        # drafter tables from the training annotations (the caption
+        # template distribution the model converges to)
+        from mdcnet_tpu.infer.speculative import build_draft_tables
+        seqs = [np.asarray(tokenizer.process_single_pair(
+            int(records["label"][i]),
+            [min(float(records[c][i]), float(cfg.data.img_size))
+             for c in ("xmin", "ymin", "xmax", "ymax")],
+            records["caption"][i])) for i in range(len(records["label"]))]
+        tables = build_draft_tables(seqs, cfg.model.vocab_size)
     eng = ServingEngine(model, params, slots=args.slots,
                         admit_width=args.admit_width,
                         segment_steps=args.segment_steps,
                         max_steps=cfg.infer.generation_steps,
-                        img_size=cfg.data.img_size)
+                        img_size=cfg.data.img_size,
+                        draft_tables=tables, draft_k=args.draft_k)
 
     # open-loop arrivals: exponential gaps at --rate req/s (0 = all at once)
     arrivals = np.zeros(args.requests)
@@ -401,6 +413,10 @@ def main(argv=None):
                    help="decode steps per host sync")
     p.add_argument("--show", type=int, default=0,
                    help="print the first N completions as JSON rows")
+    p.add_argument("--speculative", action="store_true",
+                   help="draft-K verified decode (token-identical, faster)")
+    p.add_argument("--draft-k", type=int, default=8,
+                   help="speculative verify block width")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("benchmark")

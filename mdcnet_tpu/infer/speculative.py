@@ -79,11 +79,12 @@ def build_draft_tables(sequences: Sequence[np.ndarray],
     return DraftTables(jnp.asarray(tri_tab), jnp.asarray(bi_tab))
 
 
-def _draft(tables: DraftTables, prev2: jnp.ndarray, prev: jnp.ndarray,
-           cls_tok: jnp.ndarray, since_cap_end: jnp.ndarray, k: int
-           ) -> jnp.ndarray:
+def draft_tokens(tables: DraftTables, prev2: jnp.ndarray, prev: jnp.ndarray,
+                 cls_tok: jnp.ndarray, since_cap_end: jnp.ndarray, k: int
+                 ) -> jnp.ndarray:
     """Roll the drafter automaton k-1 steps.  All args (B,).  Returns
-    drafts (B, k-1)."""
+    drafts (B, k-1).  Shared by batch generation (below) and the
+    continuous-batching serving engine (serve/engine.py)."""
 
     def step(carry, _):
         p2, p1, since = carry
@@ -160,7 +161,7 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
     def body_fn(state):
         pos, last, prev2, cls_tok, finished, since, tokens, confs, caches \
             = state
-        drafts = _draft(tables, prev2, last, cls_tok, since, k_blk)
+        drafts = draft_tokens(tables, prev2, last, cls_tok, since, k_blk)
         block = jnp.concatenate([last[:, None], drafts], axis=1)  # (B,K)
         logits, caches = model.apply(
             params, block, pos, caches, mem_kvs,

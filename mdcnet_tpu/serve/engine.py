@@ -36,7 +36,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from mdcnet_tpu.config import BOS_ID, EOS_ID, PAD_ID
+from mdcnet_tpu.config import (BOS_ID, CAPTION_END_ID, EOS_ID, LABEL_END,
+                               LABEL_START, PAD_ID)
 
 
 class Request(NamedTuple):
@@ -60,6 +61,10 @@ class _DeviceState(NamedTuple):
     active: jnp.ndarray        # (B,) slot holds a request
     finished: jnp.ndarray      # (B,) slot's request has emitted EOS
     buf: jnp.ndarray           # (B, max_steps+1) emitted tokens
+    # speculative-mode drafter bookkeeping (dead weight in greedy mode)
+    prev2: jnp.ndarray         # (B,) token before the current one
+    cls_tok: jnp.ndarray       # (B,) class word seen inside the caption
+    since: jnp.ndarray         # (B,) tokens emitted since CAP_END (-1: none)
 
 
 class ServingEngine:
@@ -73,12 +78,19 @@ class ServingEngine:
     admit_width : newcomer encode batch; admission pads to this width so
         the encoder compiles once.
     segment_steps : decode steps per jitted segment (host sync cadence).
+        In speculative mode each step is a draft-K verify round committing
+        1..draft_k tokens per live slot, so segments cover more sequence.
     max_steps : decode budget per request (default: cache capacity).
+    draft_tables : optional ``infer.speculative.DraftTables``; when given,
+        segments advance via K-token draft verification (``decode_block``)
+        instead of one ``decode_step`` per token — token-identical output
+        (tests/test_serve.py), fewer decoder calls per caption.
+    draft_k : verify block width (last committed token + draft_k-1 drafts).
     """
 
     def __init__(self, model, params, slots: int = 64, admit_width: int = 16,
                  segment_steps: int = 8, max_steps: Optional[int] = None,
-                 img_size: int = 224):
+                 img_size: int = 224, draft_tables=None, draft_k: int = 8):
         decoder = model.decoder
         assert getattr(decoder, "prepend_bos", True), \
             "serving requires the standard causal decoder"
@@ -93,6 +105,8 @@ class ServingEngine:
         self.max_steps = min(max_steps or self.cache_len - 1,
                              self.cache_len - 1)
         self.img_size = img_size
+        self.draft_tables = draft_tables
+        self.draft_k = draft_k
         self._build()
         self._reset()
 
@@ -132,7 +146,10 @@ class ServingEngine:
                 pos=state.pos.at[slot_idx].set(0, mode="drop"),
                 active=state.active.at[slot_idx].set(True, mode="drop"),
                 finished=state.finished.at[slot_idx].set(False, mode="drop"),
-                buf=state.buf.at[slot_idx].set(row, mode="drop"))
+                buf=state.buf.at[slot_idx].set(row, mode="drop"),
+                prev2=state.prev2.at[slot_idx].set(PAD_ID, mode="drop"),
+                cls_tok=state.cls_tok.at[slot_idx].set(PAD_ID, mode="drop"),
+                since=state.since.at[slot_idx].set(-1, mode="drop"))
 
         positions = jnp.arange(L)[None, :]
         rows = jnp.arange(B)
@@ -167,14 +184,83 @@ class ServingEngine:
             return state._replace(token=token, pos=pos, caches=caches,
                                   finished=finished, buf=buf)
 
+        tables, kq = self.draft_tables, self.draft_k
+
+        @jax.jit
+        def segment_spec(params, state: _DeviceState) -> _DeviceState:
+            """Advance every live slot ``K`` draft-verify rounds, each
+            committing 1..draft_k greedy-exact tokens (infer/speculative.py
+            semantics with per-slot positions + activity masking)."""
+            from mdcnet_tpu.infer.speculative import draft_tokens
+
+            j_idx = jnp.arange(kq)[None, :]
+
+            def body(carry, _):
+                (token, pos, prev2, cls_tok, since, caches, finished,
+                 buf) = carry
+                live = state.active & ~finished
+                drafts = draft_tokens(tables, prev2, token, cls_tok, since,
+                                      kq)
+                block = jnp.concatenate([token[:, None], drafts], axis=1)
+                logits, caches = model.apply(
+                    params, block, pos, caches, state.mem_kvs,
+                    method=lambda m, *a: m.decoder.decode_block(*a))
+                out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                match = (out[:, :-1] == drafts) & (out[:, :-1] != EOS_ID)
+                alive = jnp.cumprod(match.astype(jnp.int32), axis=1)
+                acc = 1 + alive.sum(axis=1)
+                acc = jnp.minimum(acc, max_steps - pos)
+                acc = jnp.where(live, acc, 0)
+                commit = j_idx < acc[:, None]
+                # masked lanes index one past the row end -> dropped
+                tcol = jnp.where(commit, pos[:, None] + 1 + j_idx,
+                                 max_steps + 1)
+                buf = buf.at[rows[:, None], tcol].set(
+                    jnp.where(commit, out, PAD_ID), mode="drop")
+                hit_eos = ((out == EOS_ID) & commit).any(axis=1)
+                new_pos = pos + acc
+                token = buf[rows, new_pos]
+                prev2 = buf[rows, jnp.maximum(new_pos - 1, 0)]
+                # drafter bookkeeping (mirrors generate_speculative)
+                is_cls = ((out >= LABEL_START) & (out <= LABEL_END)
+                          & commit)
+                cap_seen = (out == CAPTION_END_ID) & commit
+                before = jnp.cumsum(cap_seen.astype(jnp.int32), axis=1) == 0
+                cls_blk = jnp.where(
+                    is_cls & before & (since < 0)[:, None], out,
+                    -1).max(axis=1)
+                cls_tok = jnp.where(cls_blk >= 0, cls_blk, cls_tok)
+                after = ((jnp.cumsum(cap_seen.astype(jnp.int32), axis=1)
+                          > 0) & commit)
+                n_after = (after.sum(axis=1)
+                           - cap_seen.any(axis=1).astype(jnp.int32))
+                since = jnp.where(cap_seen.any(axis=1), n_after,
+                                  jnp.where(since >= 0, since + acc, since))
+                finished = finished | (live & (hit_eos |
+                                               (new_pos >= max_steps)))
+                return (token, new_pos, prev2, cls_tok, since, caches,
+                        finished, buf), None
+
+            carry = (state.token, state.pos, state.prev2, state.cls_tok,
+                     state.since, state.caches, state.finished, state.buf)
+            carry, _ = jax.lax.scan(body, carry, None, length=K)
+            (token, pos, prev2, cls_tok, since, caches, finished,
+             buf) = carry
+            return state._replace(token=token, pos=pos, prev2=prev2,
+                                  cls_tok=cls_tok, since=since,
+                                  caches=caches, finished=finished, buf=buf)
+
         self._encode_prepare = encode_prepare
         self._admit = admit
-        self._segment = segment
+        self._segment = segment if tables is None else segment_spec
 
     def _reset(self):
         decoder = self.model.decoder
         B, L = self.slots, self.cache_len
-        caches = decoder.init_cache(B, L)
+        # +draft_k slack in speculative mode: draft slots past the commit
+        # point are rewritten by the next block before becoming attendable
+        slack = self.draft_k if self.draft_tables is not None else 0
+        caches = decoder.init_cache(B, L + slack)
         # memory K/V template: encode one admit-width batch of zeros and
         # tile the SHAPE (values are dead until a slot is admitted)
         mem_shapes = jax.eval_shape(
@@ -190,7 +276,10 @@ class ServingEngine:
             mem_kvs=mem_kvs,
             active=jnp.zeros((B,), bool),
             finished=jnp.zeros((B,), bool),
-            buf=jnp.full((B, self.max_steps + 1), PAD_ID, jnp.int32))
+            buf=jnp.full((B, self.max_steps + 1), PAD_ID, jnp.int32),
+            prev2=jnp.full((B,), PAD_ID, jnp.int32),
+            cls_tok=jnp.full((B,), PAD_ID, jnp.int32),
+            since=jnp.full((B,), -1, jnp.int32))
         self._slot_req: List[Optional[Request]] = [None] * B
         self._slot_admit_t: List[float] = [0.0] * B
 

@@ -86,6 +86,27 @@ class TestServeParity:
             if eos.size:
                 assert (c.tokens[int(eos[0]) + 1:] == PAD_ID).all()
 
+    def test_speculative_matches_greedy_engine(self, setup):
+        cfg, model, params, images = setup
+        from mdcnet_tpu.infer.speculative import build_draft_tables
+        # drafter content only affects speed, never tokens: exactness must
+        # hold even for tables built from sequences the model never emits
+        tables = build_draft_tables(
+            [np.array([BOS_ID, 5, 6, 7, EOS_ID]),
+             np.array([BOS_ID, 5, 6, 8, EOS_ID])], cfg.vocab_size)
+        greedy = ServingEngine(model, params, slots=2, admit_width=2,
+                               segment_steps=4, img_size=cfg.img_size)
+        spec = ServingEngine(model, params, slots=2, admit_width=2,
+                             segment_steps=4, img_size=cfg.img_size,
+                             draft_tables=tables, draft_k=4)
+        reqs = [Request(rid=i, image=images[i]) for i in range(4)]
+        ref = {c.rid: c.tokens for c in greedy.serve(list(reqs))}
+        got = {c.rid: c.tokens for c in spec.serve(list(reqs))}
+        for i in range(4):
+            np.testing.assert_array_equal(
+                got[i], ref[i],
+                err_msg=f"speculative engine diverged on request {i}")
+
     def test_slot_reuse_resets_state(self, setup):
         cfg, model, params, images = setup
         eng = ServingEngine(model, params, slots=1, admit_width=1,
