@@ -107,10 +107,17 @@ class TestServeParity:
                 got[i], ref[i],
                 err_msg=f"speculative engine diverged on request {i}")
 
-    def test_slot_reuse_resets_state(self, setup):
+    @pytest.mark.parametrize("speculative", [False, True])
+    def test_slot_reuse_resets_state(self, setup, speculative):
         cfg, model, params, images = setup
+        tables = None
+        if speculative:
+            from mdcnet_tpu.infer.speculative import build_draft_tables
+            tables = build_draft_tables(
+                [np.array([BOS_ID, 5, 6, 7, EOS_ID])], cfg.vocab_size)
         eng = ServingEngine(model, params, slots=1, admit_width=1,
-                            segment_steps=4, img_size=cfg.img_size)
+                            segment_steps=4, img_size=cfg.img_size,
+                            draft_tables=tables)
         # the same image through the single slot twice must give the same
         # tokens (stale cache/memory from the first occupant must not leak)
         reqs = [Request(rid=0, image=images[0]),
