@@ -88,13 +88,17 @@ class ViTBlock(nn.Module):
                                use_flash=self.use_flash,
                                fuse_qkv=self.fuse_qkv, **kw,
                                name="attn")(h, h, h)
-        x = x + h * ls("gamma1")
+        # LayerScale gammas are param_dtype (f32); downcast the scaled
+        # branch so the residual STREAM stays in compute dtype — without
+        # this the bf16 flagship promotes the whole stream to f32 after
+        # block 0, doubling residual HBM traffic across the stack
+        x = x + (h * ls("gamma1")).astype(x.dtype)
 
         h = nn.LayerNorm(epsilon=1e-6, **kw, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), **kw, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=self.gelu_approx)
         h = nn.Dense(self.dim, **kw, name="mlp_fc2")(h)
-        return x + h * ls("gamma2")
+        return x + (h * ls("gamma2")).astype(x.dtype)
 
 
 class ViTEncoder(nn.Module):
@@ -187,10 +191,6 @@ class ViTEncoder(nn.Module):
             stacked = jax.tree_util.tree_map(
                 lambda *leaves: jnp.stack(leaves), *ps)
             blk = self.blocks[0]
-            # the LayerScale residual add upcasts to param_dtype, so the
-            # steady-state carry dtype is promote(x, param_dtype); cast up
-            # front or the scan carry types mismatch after block 0
-            x = x.astype(jnp.promote_types(x.dtype, self.param_dtype))
 
             def body(h, p):
                 return blk.apply({"params": p}, h), None
