@@ -9,7 +9,7 @@ import pytest
 from mdcnet_tpu.config import (BOS_ID, CAPTION_END_ID, CAPTION_START_ID,
                                EOS_ID, PAD_ID, test_preset)
 from mdcnet_tpu.infer.generate import generate
-from mdcnet_tpu.infer.speculative import (DraftTables, _draft,
+from mdcnet_tpu.infer.speculative import (DraftTables, draft_tokens,
                                           build_draft_tables,
                                           generate_speculative)
 from mdcnet_tpu.models import build_model
@@ -114,7 +114,7 @@ class TestDrafter:
         caption template prefix 'the defect ...'."""
         tables, tok = gc10_tables
         v = tok.vocab
-        drafts = _draft(tables,
+        drafts = draft_tokens(tables,
                         jnp.asarray([BOS_ID]),
                         jnp.asarray([CAPTION_START_ID]),
                         jnp.asarray([PAD_ID]),
@@ -126,18 +126,18 @@ class TestDrafter:
         tables, _ = gc10_tables
         cls = jnp.asarray([260])
         # prev = CAP_END -> draft the copied class label
-        drafts = _draft(tables, jnp.asarray([7]),
+        drafts = draft_tokens(tables, jnp.asarray([7]),
                         jnp.asarray([CAPTION_END_ID]), cls,
                         jnp.asarray([0]), k=2)
         assert int(drafts[0, 0]) == 260
         # 5 tokens after CAP_END (label + 4 coords done) -> draft EOS
-        drafts = _draft(tables, jnp.asarray([120]), jnp.asarray([130]),
+        drafts = draft_tokens(tables, jnp.asarray([120]), jnp.asarray([130]),
                         cls, jnp.asarray([5]), k=2)
         assert int(drafts[0, 0]) == EOS_ID
 
     def test_finished_rows_draft_pad(self, gc10_tables):
         tables, _ = gc10_tables
-        drafts = _draft(tables, jnp.asarray([5]), jnp.asarray([EOS_ID]),
+        drafts = draft_tokens(tables, jnp.asarray([5]), jnp.asarray([EOS_ID]),
                         jnp.asarray([PAD_ID]), jnp.asarray([-1]), k=4)
         assert np.all(np.asarray(drafts) == PAD_ID)
 
