@@ -414,7 +414,8 @@ def main(argv=None):
     p.add_argument("--show", type=int, default=0,
                    help="print the first N completions as JSON rows")
     p.add_argument("--speculative", action="store_true",
-                   help="draft-K verified decode (token-identical, faster)")
+                   help="draft-K verified decode (matches greedy up to "
+                   "bf16 argmax ties; fewer decoder calls)")
     p.add_argument("--draft-k", type=int, default=8,
                    help="speculative verify block width")
     p.set_defaults(fn=cmd_serve)

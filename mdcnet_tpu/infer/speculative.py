@@ -11,9 +11,15 @@ from HBM, not by the single token's compute (docs/PERF.md).
 This module drafts K-1 cheap guesses per step and verifies them in ONE
 multi-token decoder call (``decode_block``): per verify step each row
 commits 1 + (length of the matching draft prefix) tokens.  Verification
-accepts exactly the tokens greedy argmax would have produced, so the output
-is token-for-token identical to ``generate(greedy=True)`` — mismatched
-drafts only cost speed, never correctness (tests/test_speculative.py).
+accepts exactly the argmax of the verify call's own logits, so mismatched
+drafts only cost speed, never output (tests/test_speculative.py).
+
+Exactness caveat: ``decode_block`` computes logits with K-row matmuls
+whose bf16 accumulation order differs from ``decode_step``'s single-row
+ones, so on TPU the two paths can break argmax ties differently —
+measured 99.90% token agreement with ``generate(greedy=True)`` at
+flagship B=256 (bit-exact in f32/CPU, where the suite pins it).  The
+committed sequence is self-consistent greedy decoding either way.
 
 The drafter is data-derived and runs entirely on device:
   - a trigram table (argmax next-token by (prev2, prev1)) built from the

@@ -83,8 +83,9 @@ class ServingEngine:
     max_steps : decode budget per request (default: cache capacity).
     draft_tables : optional ``infer.speculative.DraftTables``; when given,
         segments advance via K-token draft verification (``decode_block``)
-        instead of one ``decode_step`` per token — token-identical output
-        (tests/test_serve.py), fewer decoder calls per caption.
+        instead of one ``decode_step`` per token — same-greedy output up to
+        bf16 argmax ties (99.9% token agreement at flagship; bit-exact in
+        f32/CPU, tests/test_serve.py), fewer decoder calls per caption.
     draft_k : verify block width (last committed token + draft_k-1 drafts).
     """
 
