@@ -101,7 +101,9 @@ class ModelConfig:
     enc_gelu_approx: bool = False  # tanh GELU in encoder MLPs (serving knob)
     enc_fuse_qkv: bool = True   # pack q/k/v into one matmul in encoder
     # self-attention (numerically identical; fewer HBM reads + op launches)
-    enc_scan_blocks: bool = False  # lax.scan over stacked block params
+    enc_scan_blocks: bool = True  # lax.scan over stacked block params
+    # (66.7 vs 68.8 ms/batch at B=256 and 12x fewer block HLOs; set False
+    # to unroll the stack — equality-tested in tests/test_encoder_parity.py)
     # (12x fewer HLO ops; same checkpoint tree — stacked in-forward)
     # decoder
     vocab_size: int = 332          # len(word vocab)=27 + code vocab 305 (trail_01.py:114)
