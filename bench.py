@@ -84,13 +84,18 @@ def main():
         jax.random.PRNGKey(0),
         (batch, cfg.data.img_size, cfg.data.img_size, 3), jnp.float32)
 
-    # serving path: XLA bf16 decode by default; MDCNET_BENCH_MEGAKERNEL=1
-    # switches to the whole-step int8 pallas kernel (ops/megakernel.py);
-    # MDCNET_BENCH_SPEC=1 runs draft-K verified speculative decoding
-    # (99.9% token agreement with greedy at bf16 flagship scale,
-    # benchmarks/bench_speculative.py)
+    # serving path: on the trained workload, draft-4 verified speculative
+    # decoding (1.11x end-to-end vs plain greedy, 99.90% token agreement —
+    # benchmarks/bench_speculative.py measures the sweep; K=6/8 lose).
+    # MDCNET_BENCH_SPEC=0 forces plain greedy XLA decode;
+    # MDCNET_BENCH_MEGAKERNEL=1 uses the whole-step int8 pallas kernel
+    # (ops/megakernel.py — wins only on the fixed-budget workload).
+    # The untrained fallback never matches drafts (argmax is noise), so it
+    # stays on the plain greedy path.
     use_mk = os.environ.get("MDCNET_BENCH_MEGAKERNEL", "0") == "1"
-    use_spec = os.environ.get("MDCNET_BENCH_SPEC", "0") == "1"
+    spec_env = os.environ.get("MDCNET_BENCH_SPEC", "")
+    use_spec = (spec_env == "1" if spec_env
+                else (workload == "trained_gc10_early_exit" and not use_mk))
 
     if use_spec:
         from mdcnet_tpu.data import annotations as ann
@@ -110,10 +115,12 @@ def main():
             records["caption"][i])) for i in range(len(records["label"]))]
         tables = build_draft_tables(seqs, cfg.model.vocab_size)
 
+        workload += "_spec4"
+
         def run(key):
             del key  # speculative greedy path is deterministic
             return generate_speculative(model, params, images, tables,
-                                        steps=steps).tokens
+                                        steps=steps, draft_k=4).tokens
     else:
         def run(key):
             return generate(model, params, images, key, steps=steps,

@@ -49,7 +49,8 @@ def main():
     _, valid_loader, _ = make_loaders(records, tok, cfg.data,
                                       synthetic_images="learnable")
     model = build_model(cfg.model)
-    mgr = CheckpointManager("checkpoints_flagship", 1)
+    mgr = CheckpointManager(os.environ.get("MDCNET_MEASURE_CKPT",
+                                           "checkpoints_flagship"), 1)
     params = jax.device_put(mgr.restore_params(model, cfg))
     print(f"checkpoint step={mgr.latest_step()}", flush=True)
 
