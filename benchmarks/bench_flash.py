@@ -66,22 +66,28 @@ def main():
     params = jax.jit(base.init)(jax.random.PRNGKey(1), images[:1])
     n_tokens = (cfg.img_size // cfg.patch_size) ** 2
 
+    def cell(name, fn):
+        try:
+            ms = timed(fn, args.iters)
+            print(json.dumps({"part": name, "L": n_tokens, "batch": B,
+                              "ms": round(ms, 2)}), flush=True)
+        except Exception as e:  # OOM at this geometry is itself a result
+            msg = str(e)
+            oom = "memory" in msg.lower() or "hbm" in msg.lower()
+            print(json.dumps({"part": name, "L": n_tokens, "batch": B,
+                              "error": "OOM" if oom else msg[:120]}),
+                  flush=True)
+
     for flash in (False, True):
         m = enc(flash)
         fwd = jax.jit(lambda p, x, m=m: m.apply(p, x))
-        ms = timed(lambda: fwd(params, images), args.iters)
-        print(json.dumps({"part": f"streaming_fwd_flash={flash}",
-                          "L": n_tokens, "batch": B,
-                          "ms": round(ms, 2)}), flush=True)
+        cell(f"streaming_fwd_flash={flash}", lambda: fwd(params, images))
 
         def loss(p, x, m=m):
             return jnp.mean(jnp.square(m.apply(p, x)))
 
         step = jax.jit(jax.value_and_grad(loss))
-        ms = timed(lambda: step(params, images), args.iters)
-        print(json.dumps({"part": f"streaming_grad_flash={flash}",
-                          "L": n_tokens, "batch": B,
-                          "ms": round(ms, 2)}), flush=True)
+        cell(f"streaming_grad_flash={flash}", lambda: step(params, images))
 
 
 if __name__ == "__main__":
