@@ -86,17 +86,28 @@ def build_draft_tables(sequences: Sequence[np.ndarray],
 
 
 def draft_tokens(tables: DraftTables, prev2: jnp.ndarray, prev: jnp.ndarray,
-                 cls_tok: jnp.ndarray, since_cap_end: jnp.ndarray, k: int
-                 ) -> jnp.ndarray:
+                 cls_tok: jnp.ndarray, since_cap_end: jnp.ndarray, k: int,
+                 recycled: jnp.ndarray | None = None) -> jnp.ndarray:
     """Roll the drafter automaton k-1 steps.  All args (B,).  Returns
     drafts (B, k-1).  Shared by batch generation (below) and the
-    continuous-batching serving engine (serve/engine.py)."""
+    continuous-batching serving engine (serve/engine.py).
 
-    def step(carry, _):
+    ``recycled`` (B, k-1, -1 = absent): the previous verify call's argmax
+    logits beyond its commit point.  Those are the MODEL's own predictions
+    (computed with at most a few wrong draft tokens in the prefix) and beat
+    the n-gram tables wherever the next token is image-conditioned — above
+    all the four box-coordinate slots, which the trigram can only draft as
+    the global mode.  Recycled drafts override the tables; the structural
+    rules (label copy after CAP_END, EOS five tokens later), which are
+    exact given a committed prefix, override both."""
+
+    def step(carry, rec):
         p2, p1, since = carry
         nxt = tables.trigram[p2, p1]
         nxt = jnp.where(nxt < 0, tables.bigram[p1], nxt)
         nxt = jnp.where(nxt < 0, PAD_ID, nxt)
+        # model-recycled draft beats the n-gram tables where present
+        nxt = jnp.where(rec >= 0, rec, nxt)
         # structural tail: CAP_END -> copied class label; 5 tokens after
         # CAP_END (label + 4 coords emitted) -> EOS
         nxt = jnp.where(p1 == CAPTION_END_ID, cls_tok, nxt)
@@ -106,8 +117,11 @@ def draft_tokens(tables: DraftTables, prev2: jnp.ndarray, prev: jnp.ndarray,
                           jnp.where(since >= 0, since + 1, since))
         return (p1, nxt, since), nxt
 
+    if recycled is None:
+        recycled = jnp.full((prev.shape[0], k - 1), -1, jnp.int32)
     since0 = jnp.where(prev == CAPTION_END_ID, 0, since_cap_end)
-    _, drafts = jax.lax.scan(step, (prev2, prev, since0), None, length=k - 1)
+    _, drafts = jax.lax.scan(step, (prev2, prev, since0),
+                             recycled.T.astype(jnp.int32))
     return drafts.T        # (B, k-1)
 
 
@@ -165,9 +179,10 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
         return jnp.logical_not(jnp.all(state[4]))
 
     def body_fn(state):
-        pos, last, prev2, cls_tok, finished, since, tokens, confs, caches \
-            = state
-        drafts = draft_tokens(tables, prev2, last, cls_tok, since, k_blk)
+        (pos, last, prev2, cls_tok, finished, since, recycled, tokens, confs,
+         caches) = state
+        drafts = draft_tokens(tables, prev2, last, cls_tok, since, k_blk,
+                              recycled=recycled)
         block = jnp.concatenate([last[:, None], drafts], axis=1)  # (B,K)
         logits, caches = model.apply(
             params, block, pos, caches, mem_kvs,
@@ -217,8 +232,18 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
         since = jnp.where(cap_seen.any(axis=1), n_after,
                           jnp.where(since >= 0, since + acc, since))
         finished = finished | hit_eos | (new_pos >= steps)
+        # recycle verify logits beyond the commit point as next-block drafts:
+        # out[:, acc-1+i] predicts the token at position new_pos + i — the
+        # model's own guess, one-or-more wrong draft tokens in its prefix
+        if k_blk > 1:
+            i_slot = jnp.arange(1, k_blk)[None, :]       # (1, K-1)
+            src = acc[:, None] - 1 + i_slot              # (B, K-1)
+            rec = jnp.take_along_axis(
+                out, jnp.clip(src, 0, k_blk - 1), axis=1)
+            avail = (src <= k_blk - 1) & ~finished[:, None] & (rec != PAD_ID)
+            recycled = jnp.where(avail, rec, -1)
         return (new_pos, last_new, prev2_new, cls_tok, finished, since,
-                tokens, confs, caches)
+                recycled, tokens, confs, caches)
 
     state = (jnp.zeros((batch,), jnp.int32),            # pos
              jnp.full((batch,), BOS_ID, jnp.int32),     # last committed
@@ -226,8 +251,9 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
              jnp.full((batch,), PAD_ID, jnp.int32),     # cls copy source
              jnp.zeros((batch,), bool),                 # finished
              jnp.full((batch,), -1, jnp.int32),         # tokens since CAP_END
+             jnp.full((batch, max(k_blk - 1, 0)), -1, jnp.int32),  # recycled
              tokens0, confs0, caches)
     state = jax.lax.while_loop(cond_fn, body_fn, state)
-    tokens, confs = state[6], state[7]
+    tokens, confs = state[7], state[8]
     return GenerateResult(tokens=tokens[:, : steps + 1],
                           confs=confs[:, :steps][:, ::conf_every][:, :n_confs])

@@ -135,6 +135,41 @@ class TestDrafter:
                         cls, jnp.asarray([5]), k=2)
         assert int(drafts[0, 0]) == EOS_ID
 
+    def test_recycled_overrides_tables_not_structure(self, gc10_tables):
+        """Recycled model predictions beat the n-gram tables, but the exact
+        structural rules (label copy after CAP_END, EOS at since==5) beat
+        recycled drafts."""
+        tables, tok = gc10_tables
+        v = tok.vocab
+        # (BOS, CAP_START) would draft 'the' from the trigram; a recycled
+        # model prediction must win instead
+        rec = jnp.asarray([[77, -1]], jnp.int32)
+        drafts = draft_tokens(tables, jnp.asarray([BOS_ID]),
+                              jnp.asarray([CAPTION_START_ID]),
+                              jnp.asarray([PAD_ID]), jnp.asarray([-1]),
+                              k=3, recycled=rec)
+        assert int(drafts[0, 0]) == 77
+        # slot without a recycled draft (-1) falls back to the tables,
+        # with the recycled token threaded through the n-gram carry
+        the_id = v.stoi["the"]
+        drafts = draft_tokens(tables, jnp.asarray([BOS_ID]),
+                              jnp.asarray([CAPTION_START_ID]),
+                              jnp.asarray([PAD_ID]), jnp.asarray([-1]),
+                              k=3, recycled=jnp.asarray([[the_id, -1]],
+                                                        jnp.int32))
+        assert v.itos.get(int(drafts[0, 1]), "?") == "defect"
+        # prev = CAP_END: label copy rule overrides a recycled draft
+        drafts = draft_tokens(tables, jnp.asarray([7]),
+                              jnp.asarray([CAPTION_END_ID]),
+                              jnp.asarray([260]), jnp.asarray([0]),
+                              k=2, recycled=jnp.asarray([[99]], jnp.int32))
+        assert int(drafts[0, 0]) == 260
+        # since==5: structure-EOS overrides a recycled draft
+        drafts = draft_tokens(tables, jnp.asarray([120]), jnp.asarray([130]),
+                              jnp.asarray([260]), jnp.asarray([5]),
+                              k=2, recycled=jnp.asarray([[99]], jnp.int32))
+        assert int(drafts[0, 0]) == EOS_ID
+
     def test_finished_rows_draft_pad(self, gc10_tables):
         tables, _ = gc10_tables
         drafts = draft_tokens(tables, jnp.asarray([5]), jnp.asarray([EOS_ID]),
