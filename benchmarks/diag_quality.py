@@ -77,6 +77,7 @@ def main():
         return model.apply(params, images, y_in)
 
     acc_by_role = {r: [0, 0] for r in range(4)}
+    per_class: dict = {}
     coord_errs = []
     exact_tf = [0, 0]
     gen_rows = []
@@ -101,6 +102,20 @@ def main():
         cm = mask & (roles == 0)
         coord_errs.append(np.abs(pred[cm].astype(np.int64)
                                  - tgt[cm].astype(np.int64)))
+        # per-class / per-box-size TF coordinate error: the tiny-defect
+        # classes (inclusion/rolled_pit/oil_spot) sit at 0.07-0.12 AP —
+        # is that visible already under teacher forcing?
+        for i in range(tgt.shape[0]):
+            lab_pos = np.flatnonzero(mask[i] & (roles[i] == 1))
+            co_pos = np.flatnonzero(cm[i])
+            if lab_pos.size == 0 or co_pos.size < 4:
+                continue
+            cls = int(tgt[i, lab_pos[0]])
+            x0, y0, x1, y1 = tgt[i, co_pos[-4:]].astype(np.int64)
+            area = max(x1 - x0, 0) * max(y1 - y0, 0)  # bins^2
+            errs_i = np.abs(pred[i, co_pos].astype(np.int64)
+                            - tgt[i, co_pos].astype(np.int64))
+            per_class.setdefault(cls, []).append((area, errs_i))
         row_ok = ((pred == tgt) | ~mask).all(axis=1)
         exact_tf[0] += int(row_ok.sum())
         exact_tf[1] += len(row_ok)
@@ -122,6 +137,22 @@ def main():
           f"frac<=2 {np.mean(errs <= 2):.3f} frac>10 {np.mean(errs > 10):.3f}",
           flush=True)
     print(f"TF row exact: {exact_tf[0]}/{exact_tf[1]}", flush=True)
+
+    from mdcnet_tpu.config import LABEL_START
+    cls_names = ["punching_hole", "welding_line", "crescent_gap",
+                 "water_spot", "oil_spot", "silk_spot", "inclusion",
+                 "rolled_pit", "crease", "waist_folding"]
+    print("TF coord err by class (n, median box area bins^2, "
+          "mean |err|, frac>10):", flush=True)
+    for cls in sorted(per_class):
+        rows = per_class[cls]
+        areas = np.asarray([a for a, _ in rows])
+        errs = np.concatenate([e for _, e in rows])
+        nm = cls_names[cls - LABEL_START] if 0 <= cls - LABEL_START < 10 \
+            else str(cls)
+        print(f"  {nm:14s} n={len(rows):3d} area_p50={np.median(areas):7.0f} "
+              f"mean|err|={errs.mean():6.2f} frac>10={np.mean(errs > 10):.3f}",
+              flush=True)
 
     cap_match = np.mean([float(g[2] == p[2]) for g, p in gen_rows])
     lab_match = np.mean([float(g[0] == p[0]) for g, p in gen_rows])

@@ -1,0 +1,83 @@
+"""Time decode_block standalone (outside the while_loop) across K.
+
+bench_speculative implies per-verify-iteration cost grows superlinearly in
+K (9.0/12.8/26.6 ms at K=3/4/6) while a single greedy decode_step iteration
+is ~4.2 ms.  This probe times the jitted decoder calls directly (20 reps,
+device fence via host readback; the tunnel's per-dispatch floor is ~1.1 ms
+— measured by probe_block_scatter) to separate per-op cost from loop
+raggedness.
+
+Run: python benchmarks/probe_decode_block.py
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def bench(fn, *args, iters=20):
+    out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1e3
+
+
+def main():
+    from bench import load_params
+    from mdcnet_tpu.config import large_preset
+    from mdcnet_tpu.models import build_model
+
+    batch = 256
+    cfg = large_preset()
+    cfg = cfg.replace(model=dataclasses.replace(cfg.model, vocab_size=332))
+    model = build_model(cfg.model)
+    params, workload = load_params(model, cfg)
+    print(f"workload={workload}", file=sys.stderr)
+    decoder = model.decoder
+    cache_len = decoder.max_len - 1
+
+    enc = jax.random.normal(jax.random.PRNGKey(0),
+                            (batch, 196, cfg.model.enc_out_dim), jnp.float32)
+    mem_kvs = jax.jit(lambda p, e: model.apply(
+        p, e, method=lambda m, x: m.decoder.prepare_memory(x)))(params, enc)
+
+    pos_v = jax.random.randint(jax.random.PRNGKey(1), (batch,), 5, 90)
+    tok1 = jnp.full((batch,), 300, jnp.int32)
+
+    @jax.jit
+    def step(params, caches):
+        key_valid = (jnp.arange(cache_len)[None, :] <= 20)
+        key_valid = jnp.broadcast_to(key_valid, (batch, cache_len))
+        return model.apply(params, tok1, 20, caches, mem_kvs, key_valid,
+                           method=lambda m, *a: m.decoder.decode_step(*a))
+
+    caches1 = decoder.init_cache(batch, cache_len)
+    ms = bench(step, params, caches1)
+    print(f"decode_step (scalar pos):      {ms:7.2f} ms")
+
+    for k in (2, 3, 4, 6, 8):
+        toks = jnp.full((batch, k), 300, jnp.int32)
+        caches = decoder.init_cache(batch, cache_len + k)
+
+        @jax.jit
+        def block(params, caches, k=k, toks=toks):
+            return model.apply(params, toks, pos_v, caches, mem_kvs,
+                               method=lambda m, *a: m.decoder.decode_block(*a))
+
+        ms = bench(block, params, caches)
+        print(f"decode_block K={k} (per-row pos): {ms:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,6 +35,11 @@ from mdcnet_tpu.ops.sampling import top_k_top_p_filtering
 class GenerateResult(NamedTuple):
     tokens: jnp.ndarray   # (B, steps+1) including the seeding BOS
     confs: jnp.ndarray    # (B, ceil(steps/conf_every)) top-1 confidence
+    # decode-loop iterations executed (scalar int32; for the greedy path
+    # this equals the number of token steps, for speculative decode it is
+    # the number of verify blocks — the raggedness diagnostic: wall time
+    # scales with this, committed tokens with acc per block)
+    n_iters: jnp.ndarray | None = None
 
 
 @functools.partial(

@@ -180,7 +180,7 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
 
     def body_fn(state):
         (pos, last, prev2, cls_tok, finished, since, recycled, tokens, confs,
-         caches) = state
+         caches, n_iters) = state
         drafts = draft_tokens(tables, prev2, last, cls_tok, since, k_blk,
                               recycled=recycled)
         block = jnp.concatenate([last[:, None], drafts], axis=1)  # (B,K)
@@ -243,7 +243,7 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
             avail = (src <= k_blk - 1) & ~finished[:, None] & (rec != PAD_ID)
             recycled = jnp.where(avail, rec, -1)
         return (new_pos, last_new, prev2_new, cls_tok, finished, since,
-                recycled, tokens, confs, caches)
+                recycled, tokens, confs, caches, n_iters + 1)
 
     state = (jnp.zeros((batch,), jnp.int32),            # pos
              jnp.full((batch,), BOS_ID, jnp.int32),     # last committed
@@ -252,8 +252,10 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
              jnp.zeros((batch,), bool),                 # finished
              jnp.full((batch,), -1, jnp.int32),         # tokens since CAP_END
              jnp.full((batch, max(k_blk - 1, 0)), -1, jnp.int32),  # recycled
-             tokens0, confs0, caches)
+             tokens0, confs0, caches,
+             jnp.zeros((), jnp.int32))                  # verify-block count
     state = jax.lax.while_loop(cond_fn, body_fn, state)
     tokens, confs = state[7], state[8]
     return GenerateResult(tokens=tokens[:, : steps + 1],
-                          confs=confs[:, :steps][:, ::conf_every][:, :n_confs])
+                          confs=confs[:, :steps][:, ::conf_every][:, :n_confs],
+                          n_iters=state[10])

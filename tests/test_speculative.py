@@ -107,6 +107,21 @@ class TestSpeculativeExactness:
             assert_equivalent(model, params, images, gc10_tables[0],
                               steps=10, draft_k=k)
 
+    def test_n_iters_counter(self, setup, gc10_tables):
+        """n_iters reports the verify-block count: bounded below by the
+        ideal ceil(steps/K) schedule and above by one block per token
+        (untrained model: every draft mismatches, so it hits the upper
+        bound exactly; the greedy path leaves the field None)."""
+        cfg, model, params, images = setup
+        steps, k = 12, 4
+        res = generate_speculative(model, params, images, gc10_tables[0],
+                                   steps=steps, draft_k=k)
+        n = int(res.n_iters)
+        assert (steps + k - 1) // k <= n <= steps
+        ref = generate(model, params, images, jax.random.PRNGKey(0),
+                       steps=steps, greedy=True)
+        assert ref.n_iters is None
+
 
 class TestDrafter:
     def test_template_words_from_trigram(self, gc10_tables):
