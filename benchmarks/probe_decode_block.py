@@ -55,27 +55,31 @@ def main():
     pos_v = jax.random.randint(jax.random.PRNGKey(1), (batch,), 5, 90)
     tok1 = jnp.full((batch,), 300, jnp.int32)
 
+    # NB: caches are created INSIDE jit — an eager init_cache materializes
+    # ~52 MB x 16 host-side zeros and ships them through the tunnel, which
+    # takes tens of minutes during a degraded window.
     @jax.jit
-    def step(params, caches):
+    def step(params):
+        caches = decoder.init_cache(batch, cache_len)
         key_valid = (jnp.arange(cache_len)[None, :] <= 20)
         key_valid = jnp.broadcast_to(key_valid, (batch, cache_len))
         return model.apply(params, tok1, 20, caches, mem_kvs, key_valid,
-                           method=lambda m, *a: m.decoder.decode_step(*a))
+                           method=lambda m, *a: m.decoder.decode_step(*a))[0]
 
-    caches1 = decoder.init_cache(batch, cache_len)
-    ms = bench(step, params, caches1)
+    ms = bench(step, params)
     print(f"decode_step (scalar pos):      {ms:7.2f} ms")
 
     for k in (2, 3, 4, 6, 8):
         toks = jnp.full((batch, k), 300, jnp.int32)
-        caches = decoder.init_cache(batch, cache_len + k)
 
         @jax.jit
-        def block(params, caches, k=k, toks=toks):
+        def block(params, k=k, toks=toks):
+            caches = decoder.init_cache(batch, cache_len + k)
             return model.apply(params, toks, pos_v, caches, mem_kvs,
-                               method=lambda m, *a: m.decoder.decode_block(*a))
+                               method=lambda m, *a: m.decoder.decode_block(*a)
+                               )[0]
 
-        ms = bench(block, params, caches)
+        ms = bench(block, params)
         print(f"decode_block K={k} (per-row pos): {ms:7.2f} ms")
 
 
