@@ -69,7 +69,7 @@ def main():
     ms = bench(step, params)
     print(f"decode_step (scalar pos):      {ms:7.2f} ms")
 
-    for k in (2, 3, 4, 6, 8):
+    for k in (3, 4, 6, 8):
         toks = jnp.full((batch, k), 300, jnp.int32)
 
         @jax.jit
@@ -79,8 +79,27 @@ def main():
                                method=lambda m, *a: m.decoder.decode_block(*a)
                                )[0]
 
+        @jax.jit
+        def block_split(params, k=k, toks=toks):
+            caches = decoder.init_cache(batch, cache_len + k)
+            return model.apply(params, toks, pos_v, caches, mem_kvs,
+                               method=lambda m, *a:
+                               m.decoder.decode_block_split(*a))[0]
+
+        @jax.jit
+        def split_commit(params, k=k, toks=toks):
+            caches = decoder.init_cache(batch, cache_len + k)
+            logits, blk_kvs = model.apply(
+                params, toks, pos_v, caches, mem_kvs,
+                method=lambda m, *a: m.decoder.decode_block_split(*a))
+            acc = jnp.full((batch,), k, jnp.int32)
+            return logits, decoder.commit_blocks(caches, blk_kvs, pos_v, acc)
+
         ms = bench(block, params)
-        print(f"decode_block K={k} (per-row pos): {ms:7.2f} ms")
+        ms_s = bench(block_split, params)
+        ms_c = bench(split_commit, params)
+        print(f"K={k}: scatter-block={ms:7.2f}  split-noc={ms_s:7.2f}  "
+              f"split+commit={ms_c:7.2f} ms")
 
 
 if __name__ == "__main__":

@@ -128,12 +128,13 @@ def draft_tokens(tables: DraftTables, prev2: jnp.ndarray, prev: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "steps", "draft_k", "top_k", "top_p",
-                     "conf_every", "temperature"))
+                     "conf_every", "temperature", "block_impl"))
 def generate_speculative(model, params, images: jnp.ndarray,
                          tables: DraftTables, steps: int = 101,
                          draft_k: int = 8, top_k: int = 0,
                          top_p: float = 1.0, conf_every: int = 4,
-                         temperature: float = 1.0) -> GenerateResult:
+                         temperature: float = 1.0,
+                         block_impl: str = "split") -> GenerateResult:
     """Greedy generation with draft-K verification; output tokens identical
     to ``generate(greedy=True, early_exit=True)``; confidences identical at
     every committed (pre-EOS) position."""
@@ -141,18 +142,19 @@ def generate_speculative(model, params, images: jnp.ndarray,
     return generate_speculative_from_memory(
         model, params, encoder_out, tables, steps=steps, draft_k=draft_k,
         top_k=top_k, top_p=top_p, conf_every=conf_every,
-        temperature=temperature)
+        temperature=temperature, block_impl=block_impl)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("model", "steps", "draft_k", "top_k", "top_p",
-                     "conf_every", "temperature"))
+                     "conf_every", "temperature", "block_impl"))
 def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
                                      tables: DraftTables, steps: int = 101,
                                      draft_k: int = 8, top_k: int = 0,
                                      top_p: float = 1.0, conf_every: int = 4,
-                                     temperature: float = 1.0
+                                     temperature: float = 1.0,
+                                     block_impl: str = "split"
                                      ) -> GenerateResult:
     decoder = model.decoder
     assert getattr(decoder, "prepend_bos", True), \
@@ -184,9 +186,16 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
         drafts = draft_tokens(tables, prev2, last, cls_tok, since, k_blk,
                               recycled=recycled)
         block = jnp.concatenate([last[:, None], drafts], axis=1)  # (B,K)
-        logits, caches = model.apply(
-            params, block, pos, caches, mem_kvs,
-            method=lambda m, *a: m.decoder.decode_block(*a))
+        if block_impl == "split":
+            # scatter-free verify: caches stay read-only through the block
+            # call; accepted rows are committed once, after acc is known
+            logits, blk_kvs = model.apply(
+                params, block, pos, caches, mem_kvs,
+                method=lambda m, *a: m.decoder.decode_block_split(*a))
+        else:
+            logits, caches = model.apply(
+                params, block, pos, caches, mem_kvs,
+                method=lambda m, *a: m.decoder.decode_block(*a))
         logits = logits / temperature
         filtered = top_k_top_p_filtering(
             logits.reshape(batch * k_blk, -1), top_k, top_p
@@ -202,6 +211,10 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
         acc = 1 + alive.sum(axis=1)                      # (B,) in [1, K]
         acc = jnp.minimum(acc, steps - pos)
         acc = jnp.where(finished, 0, acc)
+        if block_impl == "split":
+            caches_new = decoder.commit_blocks(caches, blk_kvs, pos, acc)
+        else:
+            caches_new = caches
 
         j_idx = jnp.arange(k_blk)[None, :]
         commit = j_idx < acc[:, None]                    # (B, K)
@@ -243,7 +256,7 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
             avail = (src <= k_blk - 1) & ~finished[:, None] & (rec != PAD_ID)
             recycled = jnp.where(avail, rec, -1)
         return (new_pos, last_new, prev2_new, cls_tok, finished, since,
-                recycled, tokens, confs, caches, n_iters + 1)
+                recycled, tokens, confs, caches_new, n_iters + 1)
 
     state = (jnp.zeros((batch,), jnp.int32),            # pos
              jnp.full((batch,), BOS_ID, jnp.int32),     # last committed

@@ -27,7 +27,8 @@ from flax import linen as nn
 
 from mdcnet_tpu.config import BOS_ID, PAD_ID
 from mdcnet_tpu.models.layers import TorchDecoderLayer, dot_product_attention
-from mdcnet_tpu.ops.masks import causal_mask, combine_masks, padding_bias
+from mdcnet_tpu.ops.masks import (NEG_INF, causal_mask, combine_masks,
+                                  padding_bias)
 
 Dtype = Any
 
@@ -198,6 +199,62 @@ class CaptionDecoder(nn.Module):
                                          mem_pos=mem_pos)
             new_caches.append(cache)
         return self.output(x)[:, 0], new_caches
+
+    def decode_block_split(self, tokens: jnp.ndarray, pos: jnp.ndarray,
+                           caches: List[Tuple[jnp.ndarray, jnp.ndarray]],
+                           mem_kvs: List[Tuple[jnp.ndarray, jnp.ndarray]]
+                           ) -> Tuple[jnp.ndarray,
+                                      List[Tuple[jnp.ndarray, jnp.ndarray]]]:
+        """Scatter-free twin of ``decode_block``: caches are READ-ONLY; the
+        K new K/V rows are returned per layer for a single deferred
+        ``commit_blocks`` call after verification decides the accepted
+        count.  Output logits are mathematically identical to
+        ``decode_block`` (the split softmax merge is exact)."""
+        pe = self.decoder_pos_embed.astype(self.dtype)[0]
+        k_blk = tokens.shape[1]
+        cols = pos[:, None] + jnp.arange(k_blk)[None, :]
+        pos_embed = jnp.take(pe, jnp.minimum(cols, pe.shape[0] - 1), axis=0)
+        x = self.embedding(tokens) + pos_embed
+        cache_alloc = caches[0][0].shape[2]
+        cache_bias = jnp.where(
+            jnp.arange(cache_alloc)[None, :] < pos[:, None], 0.0, NEG_INF
+        ).astype(jnp.float32)[:, None, None, :]            # (B,1,1,L)
+        i = jnp.arange(k_blk)
+        blk_bias = jnp.where(i[None, :] <= i[:, None], 0.0, NEG_INF
+                             ).astype(jnp.float32)[None, None]  # (1,1,K,K)
+        blk_kvs = []
+        for layer, cache, mem_kv in zip(self.layers, caches, mem_kvs):
+            x, blk_kv = layer.decode_block_split(x, cache, mem_kv,
+                                                 cache_bias, blk_bias)
+            blk_kvs.append(blk_kv)
+        return self.output(x), blk_kvs
+
+    @staticmethod
+    def commit_blocks(caches: List[Tuple[jnp.ndarray, jnp.ndarray]],
+                      blk_kvs: List[Tuple[jnp.ndarray, jnp.ndarray]],
+                      pos: jnp.ndarray, acc: jnp.ndarray
+                      ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Write the accepted prefix of each row's block K/V into the caches.
+
+        pos: (B,) first block position per row; acc: (B,) accepted counts in
+        [0, K].  Rejected lanes are routed to the last cache column, which
+        ``decode_block_split``'s l < pos mask keeps unattendable forever
+        (cols never exceed alloc-2 for real commits — generate_speculative
+        clamps pos to steps <= alloc-K-1)."""
+        k_blk = blk_kvs[0][0].shape[2]
+        b = pos.shape[0]
+        rows = jnp.arange(b)[:, None]
+        alloc = caches[0][0].shape[2]
+        j = jnp.arange(k_blk)[None, :]
+        cols = jnp.where(j < acc[:, None], pos[:, None] + j, alloc - 1)
+        out = []
+        for (k_cache, v_cache), (k_new, v_new) in zip(caches, blk_kvs):
+            k_cache = k_cache.at[rows, :, cols].set(
+                k_new.transpose(0, 2, 1, 3).astype(k_cache.dtype))
+            v_cache = v_cache.at[rows, :, cols].set(
+                v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype))
+            out.append((k_cache, v_cache))
+        return out
 
     def decode_block(self, tokens: jnp.ndarray, pos: jnp.ndarray,
                      caches: List[Tuple[jnp.ndarray, jnp.ndarray]],

@@ -217,6 +217,67 @@ class TorchDecoderLayer(nn.Module):
         tgt = self.norm3(tgt + x)
         return tgt, (k_cache, v_cache)
 
+    def decode_block_split(self, tgt: jnp.ndarray,
+                           kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
+                           mem_kv: Tuple[jnp.ndarray, jnp.ndarray],
+                           cache_bias: jnp.ndarray, blk_bias: jnp.ndarray
+                           ) -> Tuple[jnp.ndarray,
+                                      Tuple[jnp.ndarray, jnp.ndarray]]:
+        """K-token decode with a READ-ONLY cache (scatter-free verify).
+
+        Instead of scattering the K new K/V rows into the cache at per-row
+        ragged positions and attending over the result (``decode_block`` —
+        a serialized TPU scatter per layer per {K,V}), self-attention is
+        split into two score matmuls sharing one softmax:
+
+          scores = [q @ k_cache^T  |  q @ k_new^T]       (B,H,K,L) | (B,H,K,K)
+          out    = w[..., :L] @ v_cache + w[..., L:] @ v_new
+
+        which touches no cache bytes beyond the reads attention needs
+        anyway (no concat copy, no scatter).  The caller commits accepted
+        rows once per verify step via ``CaptionDecoder.commit_blocks``.
+
+        tgt: (B, K, D); cache_bias: (B, 1, 1, L) additive bias for committed
+        cache slots (l < pos[b]); blk_bias: (1, 1, K, K) causal bias inside
+        the block.  Returns (out (B, K, D), (k_new, v_new) each (B,H,K,Dh)).
+        """
+        from mdcnet_tpu.ops import kv_quant
+
+        k_cache, v_cache = kv_cache
+        assert not isinstance(k_cache, kv_quant.QuantKV), \
+            "speculative decode requires the unquantized cache"
+        q = self.self_attn.head_split(self.self_attn.q_proj(tgt))
+        k_new = self.self_attn.head_split(self.self_attn.k_proj(tgt))
+        v_new = self.self_attn.head_split(self.self_attn.v_proj(tgt))
+        dh = q.shape[-1]
+        s_cache = jnp.einsum("bhqd,bhkd->bhqk", q, k_cache,
+                             preferred_element_type=jnp.float32)
+        s_blk = jnp.einsum("bhqd,bhkd->bhqk", q, k_new,
+                           preferred_element_type=jnp.float32)
+        scores = jnp.concatenate(
+            [s_cache * (dh ** -0.5) + cache_bias,
+             s_blk * (dh ** -0.5) + blk_bias], axis=-1)
+        w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        lc = k_cache.shape[2]
+        x = (jnp.einsum("bhqk,bhkd->bhqd", w[..., :lc], v_cache,
+                        preferred_element_type=jnp.float32)
+             + jnp.einsum("bhqk,bhkd->bhqd", w[..., lc:], v_new,
+                          preferred_element_type=jnp.float32)).astype(q.dtype)
+        x = self.self_attn.out_proj(self.self_attn.head_merge(x))
+        tgt = self.norm1(tgt + x)
+
+        mk, mv = mem_kv
+        assert not isinstance(mk, kv_quant.QuantKV), \
+            "speculative decode requires unquantized memory K/V"
+        q = self.cross_attn.head_split(self.cross_attn.q_proj(tgt))
+        x = dot_product_attention(q, mk, mv)
+        x = self.cross_attn.out_proj(self.cross_attn.head_merge(x))
+        tgt = self.norm2(tgt + x)
+
+        x = self.linear2(nn.relu(self.linear1(tgt)))
+        tgt = self.norm3(tgt + x)
+        return tgt, (k_new, v_new)
+
     def decode_block(self, tgt: jnp.ndarray,
                      kv_cache: Tuple[jnp.ndarray, jnp.ndarray],
                      mem_kv: Tuple[jnp.ndarray, jnp.ndarray],

@@ -107,6 +107,23 @@ class TestSpeculativeExactness:
             assert_equivalent(model, params, images, gc10_tables[0],
                               steps=10, draft_k=k)
 
+    def test_block_impls_agree(self, setup, gc10_tables):
+        """The scatter-free split verify (decode_block_split + deferred
+        commit_blocks) must reproduce the scatter decode_block path exactly:
+        same tokens, same confidences, same iteration count."""
+        cfg, model, params, images = setup
+        for k in (3, 5):
+            a = generate_speculative(model, params, images, gc10_tables[0],
+                                     steps=12, draft_k=k,
+                                     block_impl="scatter")
+            b = generate_speculative(model, params, images, gc10_tables[0],
+                                     steps=12, draft_k=k, block_impl="split")
+            np.testing.assert_array_equal(np.asarray(a.tokens),
+                                          np.asarray(b.tokens))
+            np.testing.assert_allclose(np.asarray(a.confs),
+                                       np.asarray(b.confs), atol=1e-6)
+            assert int(a.n_iters) == int(b.n_iters)
+
     def test_n_iters_counter(self, setup, gc10_tables):
         """n_iters reports the verify-block count: bounded below by the
         ideal ceil(steps/K) schedule and above by one block per token
