@@ -203,15 +203,19 @@ class ServingEngine:
                 drafts = draft_tokens(tables, prev2, token, cls_tok, since,
                                       kq)
                 block = jnp.concatenate([token[:, None], drafts], axis=1)
-                logits, caches = model.apply(
+                # scatter-free verify (decode_block_split): caches stay
+                # read-only; accepted rows are committed once acc is known
+                logits, blk_kvs = model.apply(
                     params, block, pos, caches, state.mem_kvs,
-                    method=lambda m, *a: m.decoder.decode_block(*a))
+                    method=lambda m, *a: m.decoder.decode_block_split(*a))
                 out = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 match = (out[:, :-1] == drafts) & (out[:, :-1] != EOS_ID)
                 alive = jnp.cumprod(match.astype(jnp.int32), axis=1)
                 acc = 1 + alive.sum(axis=1)
                 acc = jnp.minimum(acc, max_steps - pos)
                 acc = jnp.where(live, acc, 0)
+                caches = model.decoder.commit_blocks(caches, blk_kvs, pos,
+                                                     acc)
                 commit = j_idx < acc[:, None]
                 # masked lanes index one past the row end -> dropped
                 tcol = jnp.where(commit, pos[:, None] + 1 + j_idx,
