@@ -70,6 +70,13 @@ def main():
                     "reference's sampled-token GIoU carries no gradient; "
                     "round-3 diag: TF coord acc 0.21 vs label acc 0.94 "
                     "because boxes only ever learned through CE)")
+    ap.add_argument("--img-size", type=int, default=0,
+                    help="hi-res quality config: train at NxN pixels "
+                    "(multiple of 16; 0 = preset 224).  num_bins stays 224 "
+                    "so the coordinate vocabulary and all decode windows "
+                    "are unchanged; only the encoder sees more pixels.  "
+                    "Targets the sub-patch-size defect classes whose "
+                    "per-class AP is 0.07-0.12 at 224 (docs/PERF.md)")
     args = ap.parse_args()
 
     from mdcnet_tpu import config as C
@@ -86,6 +93,14 @@ def main():
            "test": C.test_preset}[args.preset]()
     cfg = cfg.replace(data=dataclasses.replace(cfg.data,
                                                batch_size=args.batch))
+    if args.img_size:
+        assert args.img_size % cfg.model.patch_size == 0, \
+            "--img-size must be a multiple of the 16px patch"
+        n_patch = (args.img_size // cfg.model.patch_size) ** 2
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, img_size=args.img_size),
+            model=dataclasses.replace(cfg.model, img_size=args.img_size,
+                                      num_patches=n_patch))
     if args.max_lr:
         cfg = cfg.replace(train=dataclasses.replace(cfg.train,
                                                     max_lr=args.max_lr))
