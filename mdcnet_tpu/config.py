@@ -118,6 +118,9 @@ class ModelConfig:
     patch_dropout_rate: float = 0.02  # model.py:148
     axial: bool = False            # use the axial-attention decoder variant
     kv_quant: bool = False         # int8 KV caches for decode (perf mode)
+    dec_fuse_prefill: bool = True  # one (D, 2*n_layers*D) matmul for all
+    # cross-attention K/V prefill projections (numerically identical;
+    # equality-tested in tests/test_model.py)
     # .npz asset produced by scripts/convert_pretrained.py; when set, the
     # encoder starts from these ImageNet-pretrained weights (the reference
     # uses timm pretrained=True, model.py:15-17)

@@ -62,6 +62,10 @@ class CaptionDecoder(nn.Module):
     prepend_bos: bool = True           # axial variant skips the BOS prepend
     torch_float_padmask: bool = False  # reproduce utils.py:29 float-mask bug
     kv_quant: bool = False             # int8 KV caches (halves decode traffic)
+    fuse_prefill: bool = True          # all layers' cross K/V projections as
+    # ONE (D, 2*n_layers*D) matmul in prepare_memory (numerically identical
+    # per output column; reads the memory activations once instead of
+    # 2*n_layers times and gives the MXU a wide N)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -148,7 +152,23 @@ class CaptionDecoder(nn.Module):
 
         memory = encoder_out.astype(self.dtype) + \
             self.encoder_pos_embed.astype(self.dtype)
-        kvs = [layer.cross_attn.project_kv(memory) for layer in self.layers]
+        if self.fuse_prefill and not self.is_initializing():
+            pk = lambda m: m.variables["params"]
+            projs = [m for layer in self.layers
+                     for m in (layer.cross_attn.k_proj,
+                               layer.cross_attn.v_proj)]
+            w = jnp.concatenate([pk(m)["kernel"] for m in projs],
+                                axis=1).astype(self.dtype)
+            bias = jnp.concatenate([pk(m)["bias"] for m in projs]
+                                   ).astype(self.dtype)
+            kv = memory @ w + bias          # (B, L, 2*n_layers*D)
+            parts = jnp.split(kv, len(projs), axis=-1)
+            hs = self.layers[0].cross_attn.head_split
+            kvs = [(hs(parts[2 * i]), hs(parts[2 * i + 1]))
+                   for i in range(len(self.layers))]
+        else:
+            kvs = [layer.cross_attn.project_kv(memory)
+                   for layer in self.layers]
         if self.kv_quant:
             # pad the memory length to the Mosaic DMA sublane granularity;
             # the kernel masks keys beyond the real length (mem_pos)

@@ -88,7 +88,9 @@ def build_model(cfg) -> EncoderDecoder:
             num_layers=cfg.dec_layers, ffn_dim=cfg.dec_ffn_dim,
             max_len=cfg.max_len, pos_dropout=cfg.dec_pos_dropout,
             layer_dropout=cfg.dec_layer_dropout,
-            kv_quant=cfg.kv_quant, dtype=dtype, param_dtype=param_dtype)
+            kv_quant=cfg.kv_quant,
+            fuse_prefill=getattr(cfg, 'dec_fuse_prefill', True),
+            dtype=dtype, param_dtype=param_dtype)
         patch_rate = cfg.patch_dropout_rate
     return EncoderDecoder(encoder=encoder, decoder=decoder,
                           patch_dropout_rate=patch_rate)

@@ -120,6 +120,30 @@ class TestMaskingBehavior:
                                    rtol=2e-4, atol=2e-5)
 
 
+class TestFusedPrefill:
+    def test_matches_per_layer_projections(self, small_model):
+        """prepare_memory with the fused (D, 2*n_layers*D) K/V matmul must
+        equal the per-layer project_kv path exactly (f32: identical
+        reductions per output column)."""
+        import dataclasses
+
+        cfg, model, params = small_model
+        images = jnp.ones((2, cfg.img_size, cfg.img_size, 3)) * 0.3
+        enc = model.apply(params, images, method="encode")
+
+        model_ref = build_model(dataclasses.replace(cfg,
+                                                    dec_fuse_prefill=False))
+        fused = model.apply(
+            params, enc, method=lambda m, e: m.decoder.prepare_memory(e))
+        plain = model_ref.apply(
+            params, enc, method=lambda m, e: m.decoder.prepare_memory(e))
+        for (kf, vf), (kp, vp) in zip(fused, plain):
+            np.testing.assert_allclose(np.asarray(kf), np.asarray(kp),
+                                       rtol=1e-6, atol=1e-6)
+            np.testing.assert_allclose(np.asarray(vf), np.asarray(vp),
+                                       rtol=1e-6, atol=1e-6)
+
+
 class TestAxialVariant:
     def test_no_bos_prepend_and_runs(self):
         cfg = test_preset().model
