@@ -74,6 +74,12 @@ def main():
 
     cfg = large_preset()
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, vocab_size=332))
+    # tanh-GELU encoder MLPs: measured serving knob (probe_gelu_serving.py
+    # reports token agreement + speedup on the trained checkpoint);
+    # MDCNET_BENCH_GELU=exact restores the erf GELU
+    if os.environ.get("MDCNET_BENCH_GELU", "exact") == "tanh":
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, enc_gelu_approx=True))
     model = build_model(cfg.model)
     params, workload = load_params(model, cfg)
 
@@ -115,12 +121,14 @@ def main():
             records["caption"][i])) for i in range(len(records["label"]))]
         tables = build_draft_tables(seqs, cfg.model.vocab_size)
 
-        workload += "_spec4"
+        draft_k = int(os.environ.get("MDCNET_BENCH_DRAFT_K", "4"))
+        workload += f"_spec{draft_k}"
 
         def run(key):
             del key  # speculative greedy path is deterministic
             return generate_speculative(model, params, images, tables,
-                                        steps=steps, draft_k=4).tokens
+                                        steps=steps,
+                                        draft_k=draft_k).tokens
     else:
         def run(key):
             return generate(model, params, images, key, steps=steps,
