@@ -126,3 +126,86 @@ class TestImageOnlyDataset:
         from mdcnet_tpu.data.pipeline import ImageOnlyDataset
         ds = ImageOnlyDataset(["/nonexistent/a.jpg"], img_size=32)
         assert list(ds.batches(2)) == []
+
+
+class TestRealImageBranch:
+    """Exercise the real-file path end to end (VERDICT r03 item 6): PNGs on
+    disk -> txt_file_to_records -> filter_existing_images -> load_image ->
+    host resize -> device preprocess -> one train epoch -> generation.
+    Mirrors the reference's cv2-file flow (data_processing.py:110-159)."""
+
+    @pytest.fixture(scope="class")
+    def image_dir(self, tmp_path_factory):
+        from PIL import Image
+        from mdcnet_tpu.data import synthetic as syn
+
+        d = tmp_path_factory.mktemp("gc10_imgs")
+        lines = ["header"]
+        rng = np.random.default_rng(0)
+        for i in range(12):
+            cls = 258 + (i % 10)
+            box = np.array([300.0, 200.0, 900.0, 600.0]) + i * 10
+            name = f"real_{i:03d}.jpg"
+            img = syn.render_defect_image(
+                cls, syn.scale_box_to_image(box, 96), 96, rng)
+            Image.fromarray(img).save(d / name)
+            lines.append(
+                f"{name[:-4]},x,{cls},{box[0]:.0f},{box[1]:.0f},"
+                f"{box[2]:.0f},{box[3]:.0f},"
+                "The defect silk_spot is located at the center of the image.")
+        # one row pointing at a missing file: filter_existing_images drops it
+        lines.append("missing_img,x,258,1,2,3,4,gone caption.")
+        (d / "ann.txt").write_text("\n".join(lines))
+        return d
+
+    def test_records_filter_and_load(self, image_dir, cfg):
+        rec = ann.txt_file_to_records(str(image_dir / "ann.txt"),
+                                      str(image_dir))
+        assert ann.num_rows(rec) == 13
+        rec = ann.filter_existing_images(rec)
+        assert ann.num_rows(rec) == 12
+        tok = make_tokenizer(max_len=cfg.max_len)
+        ds = SteelDefectDataset(rec, tok, cfg, synthetic_images=False)
+        img, seq, box, label = ds.example(0)
+        assert img.dtype == np.uint8 and img.shape == (96, 96, 3)
+        # bbox rescaled into cfg.img_size space before tokenization
+        assert box.max() <= cfg.img_size
+        batch = next(iter(DataLoader(ds, batch_size=4)))
+        assert batch.images.shape == (4, cfg.img_size, cfg.img_size, 3)
+
+    def test_train_epoch_and_infer_on_real_files(self, image_dir, tmp_path):
+        from mdcnet_tpu.config import test_preset
+        from mdcnet_tpu.data.augment import preprocess
+        from mdcnet_tpu.data.pipeline import ImageOnlyDataset
+        from mdcnet_tpu.infer.generate import generate, postprocess
+        from mdcnet_tpu.models import build_model
+        from mdcnet_tpu.train.loop import train_from_config
+        from mdcnet_tpu.utils.logging import MetricLogger
+
+        cfg = test_preset()
+        cfg = cfg.replace(
+            data=type(cfg.data)(**{**cfg.data.__dict__, "batch_size": 4,
+                                   "test_size": 0.1, "valid_size": 0.2}),
+            train=type(cfg.train)(**{**cfg.train.__dict__,
+                                     "checkpoint_dir": str(tmp_path),
+                                     "epochs": 1}))
+        rec = ann.filter_existing_images(
+            ann.txt_file_to_records(str(image_dir / "ann.txt"),
+                                    str(image_dir)))
+        tok = make_tokenizer(max_len=cfg.data.max_len)
+        state = train_from_config(cfg, rec, tok, logger=MetricLogger(quiet=True),
+                                  synthetic_images=False, epochs=1)
+        assert int(state.step) >= 1
+
+        # inference on the same real files through ImageOnlyDataset
+        model = build_model(cfg.model)
+        paths = [str(image_dir / f"real_{i:03d}.jpg") for i in range(4)]
+        images_u8, kept = next(iter(
+            ImageOnlyDataset(paths, cfg.data.img_size).batches(4)))
+        assert len(kept) == 4
+        images = preprocess(jnp.asarray(images_u8), jax.random.PRNGKey(0),
+                            cfg.data.img_size, train=False)
+        res = generate(model, state.params, images, jax.random.PRNGKey(1),
+                       steps=12, greedy=True)
+        out = postprocess(np.asarray(res.tokens), np.asarray(res.confs), tok)
+        assert len(out[0]) == 4  # one (possibly None) row per image
