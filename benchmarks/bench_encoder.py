@@ -61,7 +61,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--parts", default="all",
                     help="comma list: full,gelu,flash,stages,sublayers,"
-                    "padded,prefill")
+                    "padded,prefill,attnimpl")
     args = ap.parse_args()
     parts = set(args.parts.split(","))
     want = lambda p: "all" in parts or p in parts
@@ -119,6 +119,16 @@ def main():
         f = jax.jit(lambda p, x: m.apply(p, x))
         report("encoder_full_fused_tanh", timed(lambda: f(params, images),
                                                 args.iters), B)
+    if want("attnimpl"):
+        for impl in ("bf16", "flash"):
+            m = enc(attn_impl=impl)
+            f = jax.jit(lambda p, x, m=m: m.apply(p, x))
+            report(f"encoder_full_attn_{impl}",
+                   timed(lambda: f(params, images), args.iters), B)
+        m = enc(attn_impl="flash", gelu_approx=True)
+        f = jax.jit(lambda p, x: m.apply(p, x))
+        report("encoder_full_attn_flash_tanh",
+               timed(lambda: f(params, images), args.iters), B)
 
     if want("stages"):
         f_embed = jax.jit(lambda p, x: base.apply(p, x, method="embed"))

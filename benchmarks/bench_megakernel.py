@@ -36,7 +36,8 @@ def main():
     args = ap.parse_args()
 
     from mdcnet_tpu.config import large_preset
-    from mdcnet_tpu.infer.generate import generate_from_memory
+    from mdcnet_tpu.infer.generate import (generate_from_memory,
+                                            generate_megakernel)
     from mdcnet_tpu.models import build_model
     from mdcnet_tpu.train.checkpoint import CheckpointManager
 
@@ -70,11 +71,10 @@ def main():
 
     results = {}
     for name, mk in (("xla", False), ("megakernel", True)):
-        def run(key):
-            return generate_from_memory(
-                model, params, encoder_out, key, steps=args.steps,
-                greedy=True, early_exit=args.early_exit,
-                use_megakernel=mk).tokens
+        def run(key, mk=mk):
+            fn = generate_megakernel if mk else generate_from_memory
+            return fn(model, params, encoder_out, key, steps=args.steps,
+                      greedy=True, early_exit=args.early_exit).tokens
         t0 = time.perf_counter()
         tokens = run(jax.random.PRNGKey(2))
         fence(tokens)

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--ks", default="4,6,8")
+    ap.add_argument("--compact", type=int, default=0,
+                    help="compact_to for both paths (0 = off): gather the "
+                    "unfinished rows into this batch once the rest finish")
     args = ap.parse_args()
 
     from bench import load_params
@@ -62,7 +65,8 @@ def main():
     # --- reference greedy path (also the parity oracle) -------------------
     def run_greedy(key):
         return generate(model, params, images, key, steps=steps,
-                        greedy=True, early_exit=True).tokens
+                        greedy=True, early_exit=True,
+                        compact_to=args.compact).tokens
 
     ref_tokens = np.asarray(run_greedy(jax.random.PRNGKey(2)))  # compile+warm
     lengths = [int(np.flatnonzero(r == EOS_ID)[0]) + 1
@@ -91,13 +95,15 @@ def main():
         list(ref_tokens) + ann_seqs, cfg.model.vocab_size)
 
     results = {"metric": "speculative_decode", "batch": args.batch,
+               "compact_to": args.compact,
                "workload": workload, "greedy_ms": round(greedy_ms, 1),
                "greedy_img_s": round(args.batch / greedy_ms * 1e3, 1)}
     best = None
     for k in [int(x) for x in args.ks.split(",")]:
         def run_spec(key, k=k):
             return generate_speculative(model, params, images, tables,
-                                        steps=steps, draft_k=k).tokens
+                                        steps=steps, draft_k=k,
+                                        compact_to=args.compact).tokens
 
         got = np.asarray(run_spec(jax.random.PRNGKey(2)))  # compile+warm
         agree = float((got == ref_tokens).mean())

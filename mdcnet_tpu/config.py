@@ -105,6 +105,11 @@ class ModelConfig:
     # (66.7 vs 68.8 ms/batch at B=256 and 12x fewer block HLOs; set False
     # to unroll the stack — equality-tested in tests/test_encoder_parity.py)
     # (12x fewer HLO ops; same checkpoint tree — stacked in-forward)
+    enc_attn_impl: str = "xla"  # encoder self-attention implementation:
+    # "xla" (f32 scores, parity default) | "bf16" (bf16 score matmul —
+    # halves softmax HBM traffic, serving knob) | "flash" (stock Pallas TPU
+    # flash kernel, L padded to 256 with masked pads; serving knob) —
+    # benchmarks/probe_enc_attn.py measures the A/B
     # decoder
     vocab_size: int = 332          # len(word vocab)=27 + code vocab 305 (trail_01.py:114)
     dec_dim: int = 1024

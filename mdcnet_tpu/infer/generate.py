@@ -46,12 +46,12 @@ class GenerateResult(NamedTuple):
     jax.jit,
     static_argnames=("model", "steps", "top_k", "top_p", "greedy",
                      "conf_every", "temperature", "early_exit",
-                     "use_megakernel"))
+                     "compact_to"))
 def generate(model, params, images: jnp.ndarray, rng: jax.Array,
              steps: int = 101, top_k: int = 0, top_p: float = 1.0,
              greedy: bool = True, conf_every: int = 4,
              temperature: float = 1.0, early_exit: bool = True,
-             use_megakernel: bool = False) -> GenerateResult:
+             compact_to: int = 0) -> GenerateResult:
     """Batch generation. images: (B, H, W, 3). Returns token sequences seeded
     with BOS, matching ``generate`` (inference_p.py:69-90) behavior.
 
@@ -78,7 +78,7 @@ def generate(model, params, images: jnp.ndarray, rng: jax.Array,
                                 conf_every=conf_every,
                                 temperature=temperature,
                                 early_exit=early_exit,
-                                use_megakernel=use_megakernel)
+                                compact_to=compact_to)
 
 
 def _generate_uncached(model, params, encoder_out, rng, steps, top_k, top_p,
@@ -135,25 +135,24 @@ def _generate_uncached(model, params, encoder_out, rng, steps, top_k, top_p,
     jax.jit,
     static_argnames=("model", "steps", "top_k", "top_p", "greedy",
                      "conf_every", "temperature", "early_exit",
-                     "use_megakernel"))
+                     "compact_to"))
 def generate_from_memory(model, params, encoder_out: jnp.ndarray,
                          rng: jax.Array, steps: int = 101, top_k: int = 0,
                          top_p: float = 1.0, greedy: bool = True,
                          conf_every: int = 4, temperature: float = 1.0,
                          early_exit: bool = True,
-                         use_megakernel: bool = False) -> GenerateResult:
+                         compact_to: int = 0) -> GenerateResult:
     """Generation from a precomputed encoder output (B, N, D) — used by the
     context-parallel streaming path where encoding happens under shard_map.
 
-    ``use_megakernel``: run each decode step as ONE whole-stack pallas_call
-    with int8 K/V (ops/megakernel.py) — the TPU serving fast path.
+    ``compact_to > 0`` (greedy + early_exit only): once <= compact_to rows
+    remain unfinished, the survivors (and their caches + cross K/V) are
+    gathered into a compact batch and the tail steps stream compact_to/B of
+    the HBM bytes.  Tokens and pre-EOS confidences are identical — rows are
+    moved, never re-decoded; post-EOS conf slots (PAD-step junk the
+    uncompacted loop keeps recording, never read by postprocess) become
+    zeros.
     """
-    if use_megakernel:
-        return _generate_megakernel(model, params, encoder_out, rng,
-                                    steps=steps, top_k=top_k, top_p=top_p,
-                                    greedy=greedy, conf_every=conf_every,
-                                    temperature=temperature,
-                                    early_exit=early_exit)
     decoder = model.decoder
     batch = encoder_out.shape[0]
     cache_len = decoder.max_len - 1
@@ -169,47 +168,93 @@ def generate_from_memory(model, params, encoder_out: jnp.ndarray,
     confs0 = jnp.zeros((batch, steps), jnp.float32)
     positions = jnp.arange(cache_len)[None, :]
 
-    def cond_fn(state):
-        i, _, _, finished, _, _, _ = state
-        not_done = jnp.logical_not(jnp.all(finished)) if early_exit else True
-        return (i < steps) & not_done
+    def make_loop(mem_kvs):
+        def cond_fn(state):
+            i, _, _, finished, _, _, _ = state
+            not_done = (jnp.logical_not(jnp.all(finished)) if early_exit
+                        else True)
+            return (i < steps) & not_done
 
-    def body_fn(state):
-        i, token, caches, finished, tokens, confs, rng = state
-        key_valid = (positions <= i) & jnp.ones((batch, 1), bool)
-        logits, caches = model.apply(
-            params, token, i, caches, mem_kvs, key_valid,
-            method=lambda m, *a: m.decoder.decode_step(*a))
-        logits = logits / temperature
-        filtered = top_k_top_p_filtering(logits, top_k, top_p)
-        probs = jax.nn.softmax(filtered, axis=-1)
-        conf = jnp.max(probs, axis=-1)
-        if greedy:
-            nxt = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-        else:
-            rng, sub = jax.random.split(rng)
-            nxt = jax.random.categorical(sub, filtered, axis=-1).astype(jnp.int32)
-        # freeze finished rows at PAD so decode sees a clean tail
-        nxt = jnp.where(finished, PAD_ID, nxt)
-        finished = finished | (nxt == EOS_ID)
-        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, i + 1))
-        confs = jax.lax.dynamic_update_slice(confs, conf[:, None], (0, i))
-        return (i + 1, nxt, caches, finished, tokens, confs, rng)
+        def body_fn(state):
+            i, token, caches, finished, tokens, confs, rng = state
+            key_valid = ((positions <= i)
+                         & jnp.ones((token.shape[0], 1), bool))
+            logits, caches = model.apply(
+                params, token, i, caches, mem_kvs, key_valid,
+                method=lambda m, *a: m.decoder.decode_step(*a))
+            logits = logits / temperature
+            filtered = top_k_top_p_filtering(logits, top_k, top_p)
+            probs = jax.nn.softmax(filtered, axis=-1)
+            conf = jnp.max(probs, axis=-1)
+            if greedy:
+                nxt = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            else:
+                rng, sub = jax.random.split(rng)
+                nxt = jax.random.categorical(sub, filtered,
+                                             axis=-1).astype(jnp.int32)
+            # freeze finished rows at PAD so decode sees a clean tail
+            nxt = jnp.where(finished, PAD_ID, nxt)
+            finished = finished | (nxt == EOS_ID)
+            tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None],
+                                                  (0, i + 1))
+            confs = jax.lax.dynamic_update_slice(confs, conf[:, None], (0, i))
+            return (i + 1, nxt, caches, finished, tokens, confs, rng)
+
+        return cond_fn, body_fn
 
     state = (jnp.array(0, jnp.int32), bos, caches,
              jnp.zeros((batch,), bool), tokens0, confs0, rng)
-    state = jax.lax.while_loop(cond_fn, body_fn, state)
-    tokens, confs = state[4], state[5]
-    confs = confs[:, ::conf_every][:, :n_confs]
-    return GenerateResult(tokens=tokens, confs=confs)
+    cond_fn, body_fn = make_loop(mem_kvs)
+
+    # compaction is exactness-preserving only for greedy decoding (the
+    # sampling path's per-step categorical draws change shape with batch)
+    if not (early_exit and greedy and 0 < compact_to < batch):
+        state = jax.lax.while_loop(cond_fn, body_fn, state)
+        tokens, confs = state[4], state[5]
+        return GenerateResult(tokens=tokens,
+                              confs=confs[:, ::conf_every][:, :n_confs])
+
+    # phase 1: full batch until <= compact_to rows remain live
+    def cond1(state):
+        return cond_fn(state) & (jnp.sum(~state[3]) > compact_to)
+
+    state = jax.lax.while_loop(cond1, body_fn, state)
+
+    # compact: gather survivors (position counter i is lockstep — carried)
+    i, token, caches, finished, tokens, confs, rng = state
+    idx = jnp.argsort(finished.astype(jnp.int32))[:compact_to]
+    take = lambda x: jnp.take(x, idx, axis=0)
+    cond2, body2 = make_loop(jax.tree_util.tree_map(take, mem_kvs))
+    state_c = (i, take(token), jax.tree_util.tree_map(take, caches),
+               take(finished), take(tokens), take(confs), rng)
+    state_c = jax.lax.while_loop(cond2, body2, state_c)
+
+    tokens = tokens.at[idx].set(state_c[4])
+    confs = confs.at[idx].set(state_c[5])
+    return GenerateResult(tokens=tokens,
+                          confs=confs[:, ::conf_every][:, :n_confs])
 
 
-def _generate_megakernel(model, params, encoder_out, rng, steps, top_k,
-                         top_p, greedy, conf_every, temperature, early_exit,
-                         chunk: int = 32):
-    """KV-cached generation where each decode step is ONE pallas_call over
-    the whole decoder stack with int8 K/V streaming (ops/megakernel.py).
-    Sampling semantics identical to generate_from_memory."""
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "steps", "top_k", "top_p", "greedy",
+                     "conf_every", "temperature", "early_exit", "chunk"))
+def generate_megakernel(model, params, encoder_out, rng, steps: int = 101,
+                        top_k: int = 0, top_p: float = 1.0,
+                        greedy: bool = True, conf_every: int = 4,
+                        temperature: float = 1.0, early_exit: bool = False,
+                        chunk: int = 32):
+    """EXPERIMENTAL fixed-budget decode: each step is ONE pallas_call over
+    the whole decoder stack with int8 K/V + int8 weight streaming
+    (ops/megakernel.py).  Sampling semantics match generate_from_memory.
+
+    Measured at flagship B=256 (docs/PERF.md round 3): 1.09x over the XLA
+    path at the FULL generation budget, but 0.95x on the trained early-exit
+    serving workload (int8 weight perturbation extends the all-rows-finished
+    tail) — so this is deliberately NOT reachable from ``generate()``; the
+    serving default is the exact XLA bf16 path (+ speculative decoding).
+    Kept as a measured, tested experiment (tests/test_megakernel.py,
+    benchmarks/bench_megakernel.py)."""
     from mdcnet_tpu.ops import megakernel as mk
 
     decoder = model.decoder

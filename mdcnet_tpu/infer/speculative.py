@@ -128,13 +128,15 @@ def draft_tokens(tables: DraftTables, prev2: jnp.ndarray, prev: jnp.ndarray,
 @functools.partial(
     jax.jit,
     static_argnames=("model", "steps", "draft_k", "top_k", "top_p",
-                     "conf_every", "temperature", "block_impl"))
+                     "conf_every", "temperature", "block_impl",
+                     "compact_to"))
 def generate_speculative(model, params, images: jnp.ndarray,
                          tables: DraftTables, steps: int = 101,
                          draft_k: int = 8, top_k: int = 0,
                          top_p: float = 1.0, conf_every: int = 4,
                          temperature: float = 1.0,
-                         block_impl: str = "split") -> GenerateResult:
+                         block_impl: str = "split",
+                         compact_to: int = 0) -> GenerateResult:
     """Greedy generation with draft-K verification; output tokens identical
     to ``generate(greedy=True, early_exit=True)``; confidences identical at
     every committed (pre-EOS) position."""
@@ -142,20 +144,31 @@ def generate_speculative(model, params, images: jnp.ndarray,
     return generate_speculative_from_memory(
         model, params, encoder_out, tables, steps=steps, draft_k=draft_k,
         top_k=top_k, top_p=top_p, conf_every=conf_every,
-        temperature=temperature, block_impl=block_impl)
+        temperature=temperature, block_impl=block_impl,
+        compact_to=compact_to)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("model", "steps", "draft_k", "top_k", "top_p",
-                     "conf_every", "temperature", "block_impl"))
+                     "conf_every", "temperature", "block_impl",
+                     "compact_to"))
 def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
                                      tables: DraftTables, steps: int = 101,
                                      draft_k: int = 8, top_k: int = 0,
                                      top_p: float = 1.0, conf_every: int = 4,
                                      temperature: float = 1.0,
-                                     block_impl: str = "split"
-                                     ) -> GenerateResult:
+                                     block_impl: str = "split",
+                                     compact_to: int = 0) -> GenerateResult:
+    """``compact_to > 0``: two-phase raggedness fix.  The while_loop runs to
+    the SLOWEST of B rows; rows whose captions draft badly take near-greedy
+    block counts while every finished row still pays the full per-block
+    cross-K/V + cache HBM stream.  Phase 1 runs at full batch only until
+    <= compact_to rows remain unfinished, then the survivors (plus their
+    caches and cross-attention K/V) are gathered into a compact_to-row
+    batch and decoding resumes there — the tail iterations stream
+    compact_to/B of the bytes.  Output tokens/confs are identical: rows are
+    only moved, never re-decoded (tests/test_speculative.py)."""
     decoder = model.decoder
     assert getattr(decoder, "prepend_bos", True), \
         "speculative decode requires the standard causal decoder"
@@ -171,92 +184,98 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
     # the next block before they ever become attendable
     caches = decoder.init_cache(batch, cache_len + k_blk)
 
-    rows = jnp.arange(batch)
     # one dump column past the live region absorbs masked scatters
     tokens0 = jnp.full((batch, steps + 2), PAD_ID, jnp.int32
                        ).at[:, 0].set(BOS_ID)
     confs0 = jnp.zeros((batch, steps + 1), jnp.float32)
 
-    def cond_fn(state):
-        return jnp.logical_not(jnp.all(state[4]))
+    def make_loop(mem_kvs):
+        """cond/body closures for one phase; batch size is taken from the
+        state so the same code traces at B and at compact_to."""
 
-    def body_fn(state):
-        (pos, last, prev2, cls_tok, finished, since, recycled, tokens, confs,
-         caches, n_iters) = state
-        drafts = draft_tokens(tables, prev2, last, cls_tok, since, k_blk,
-                              recycled=recycled)
-        block = jnp.concatenate([last[:, None], drafts], axis=1)  # (B,K)
-        if block_impl == "split":
-            # scatter-free verify: caches stay read-only through the block
-            # call; accepted rows are committed once, after acc is known
-            logits, blk_kvs = model.apply(
-                params, block, pos, caches, mem_kvs,
-                method=lambda m, *a: m.decoder.decode_block_split(*a))
-        else:
-            logits, caches = model.apply(
-                params, block, pos, caches, mem_kvs,
-                method=lambda m, *a: m.decoder.decode_block(*a))
-        logits = logits / temperature
-        filtered = top_k_top_p_filtering(
-            logits.reshape(batch * k_blk, -1), top_k, top_p
-        ).reshape(batch, k_blk, -1)
-        probs = jax.nn.softmax(filtered, axis=-1)
-        conf = jnp.max(probs, axis=-1)                   # (B, K)
-        out = jnp.argmax(filtered, axis=-1).astype(jnp.int32)  # (B, K)
+        def cond_fn(state):
+            return jnp.logical_not(jnp.all(state[4]))
 
-        # committed count: 1 + longest draft prefix that matched AND did not
-        # pass an EOS (greedy freezes at PAD after EOS); clamp to the budget
-        match = (out[:, :-1] == drafts) & (out[:, :-1] != EOS_ID)
-        alive = jnp.cumprod(match.astype(jnp.int32), axis=1)
-        acc = 1 + alive.sum(axis=1)                      # (B,) in [1, K]
-        acc = jnp.minimum(acc, steps - pos)
-        acc = jnp.where(finished, 0, acc)
-        if block_impl == "split":
-            caches_new = decoder.commit_blocks(caches, blk_kvs, pos, acc)
-        else:
-            caches_new = caches
+        def body_fn(state):
+            (pos, last, prev2, cls_tok, finished, since, recycled, tokens,
+             confs, caches, n_iters) = state
+            rows = jnp.arange(pos.shape[0])
+            drafts = draft_tokens(tables, prev2, last, cls_tok, since, k_blk,
+                                  recycled=recycled)
+            block = jnp.concatenate([last[:, None], drafts], axis=1)  # (B,K)
+            if block_impl == "split":
+                # scatter-free verify: caches stay read-only through the block
+                # call; accepted rows are committed once, after acc is known
+                logits, blk_kvs = model.apply(
+                    params, block, pos, caches, mem_kvs,
+                    method=lambda m, *a: m.decoder.decode_block_split(*a))
+            else:
+                logits, caches = model.apply(
+                    params, block, pos, caches, mem_kvs,
+                    method=lambda m, *a: m.decoder.decode_block(*a))
+            logits = logits / temperature
+            filtered = top_k_top_p_filtering(
+                logits.reshape(pos.shape[0] * k_blk, -1), top_k, top_p
+            ).reshape(pos.shape[0], k_blk, -1)
+            probs = jax.nn.softmax(filtered, axis=-1)
+            conf = jnp.max(probs, axis=-1)                   # (B, K)
+            out = jnp.argmax(filtered, axis=-1).astype(jnp.int32)  # (B, K)
 
-        j_idx = jnp.arange(k_blk)[None, :]
-        commit = j_idx < acc[:, None]                    # (B, K)
-        # scatter committed tokens/confs; masked lanes hit the dump column
-        tcol = jnp.where(commit, pos[:, None] + 1 + j_idx, steps + 1)
-        tokens = tokens.at[rows[:, None], tcol].set(
-            jnp.where(commit, out, tokens[rows[:, None], tcol]))
-        ccol = jnp.where(commit, pos[:, None] + j_idx, steps)
-        confs = confs.at[rows[:, None], ccol].set(
-            jnp.where(commit, conf, confs[rows[:, None], ccol]))
+            # committed count: 1 + longest draft prefix that matched AND did not
+            # pass an EOS (greedy freezes at PAD after EOS); clamp to the budget
+            match = (out[:, :-1] == drafts) & (out[:, :-1] != EOS_ID)
+            alive = jnp.cumprod(match.astype(jnp.int32), axis=1)
+            acc = 1 + alive.sum(axis=1)                      # (B,) in [1, K]
+            acc = jnp.minimum(acc, steps - pos)
+            acc = jnp.where(finished, 0, acc)
+            if block_impl == "split":
+                caches_new = decoder.commit_blocks(caches, blk_kvs, pos, acc)
+            else:
+                caches_new = caches
 
-        hit_eos = ((out == EOS_ID) & commit).any(axis=1)
-        new_pos = pos + acc
-        # committed-token bookkeeping for the next draft round
-        last_new = tokens[rows, new_pos]
-        prev2_new = tokens[rows, jnp.maximum(new_pos - 1, 0)]
-        is_cls = (out >= LABEL_START) & (out <= LABEL_END) & commit
-        cap_seen = (out == CAPTION_END_ID) & commit
-        # class word inside the caption (before CAP_END) -> copy source
-        before_cap = jnp.cumsum(cap_seen.astype(jnp.int32), axis=1) == 0
-        cls_in_blk = jnp.where(is_cls & before_cap & (since < 0)[:, None],
-                               out, -1).max(axis=1)
-        cls_tok = jnp.where(cls_in_blk >= 0, cls_in_blk, cls_tok)
-        # tokens emitted after CAP_END so far (drives the EOS structure rule)
-        after = (jnp.cumsum(cap_seen.astype(jnp.int32), axis=1) > 0) & commit
-        n_after = (after.sum(axis=1)
-                   - cap_seen.any(axis=1).astype(jnp.int32))
-        since = jnp.where(cap_seen.any(axis=1), n_after,
-                          jnp.where(since >= 0, since + acc, since))
-        finished = finished | hit_eos | (new_pos >= steps)
-        # recycle verify logits beyond the commit point as next-block drafts:
-        # out[:, acc-1+i] predicts the token at position new_pos + i — the
-        # model's own guess, one-or-more wrong draft tokens in its prefix
-        if k_blk > 1:
-            i_slot = jnp.arange(1, k_blk)[None, :]       # (1, K-1)
-            src = acc[:, None] - 1 + i_slot              # (B, K-1)
-            rec = jnp.take_along_axis(
-                out, jnp.clip(src, 0, k_blk - 1), axis=1)
-            avail = (src <= k_blk - 1) & ~finished[:, None] & (rec != PAD_ID)
-            recycled = jnp.where(avail, rec, -1)
-        return (new_pos, last_new, prev2_new, cls_tok, finished, since,
-                recycled, tokens, confs, caches_new, n_iters + 1)
+            j_idx = jnp.arange(k_blk)[None, :]
+            commit = j_idx < acc[:, None]                    # (B, K)
+            # scatter committed tokens/confs; masked lanes hit the dump column
+            tcol = jnp.where(commit, pos[:, None] + 1 + j_idx, steps + 1)
+            tokens = tokens.at[rows[:, None], tcol].set(
+                jnp.where(commit, out, tokens[rows[:, None], tcol]))
+            ccol = jnp.where(commit, pos[:, None] + j_idx, steps)
+            confs = confs.at[rows[:, None], ccol].set(
+                jnp.where(commit, conf, confs[rows[:, None], ccol]))
+
+            hit_eos = ((out == EOS_ID) & commit).any(axis=1)
+            new_pos = pos + acc
+            # committed-token bookkeeping for the next draft round
+            last_new = tokens[rows, new_pos]
+            prev2_new = tokens[rows, jnp.maximum(new_pos - 1, 0)]
+            is_cls = (out >= LABEL_START) & (out <= LABEL_END) & commit
+            cap_seen = (out == CAPTION_END_ID) & commit
+            # class word inside the caption (before CAP_END) -> copy source
+            before_cap = jnp.cumsum(cap_seen.astype(jnp.int32), axis=1) == 0
+            cls_in_blk = jnp.where(is_cls & before_cap & (since < 0)[:, None],
+                                   out, -1).max(axis=1)
+            cls_tok = jnp.where(cls_in_blk >= 0, cls_in_blk, cls_tok)
+            # tokens emitted after CAP_END so far (drives the EOS structure rule)
+            after = (jnp.cumsum(cap_seen.astype(jnp.int32), axis=1) > 0) & commit
+            n_after = (after.sum(axis=1)
+                       - cap_seen.any(axis=1).astype(jnp.int32))
+            since = jnp.where(cap_seen.any(axis=1), n_after,
+                              jnp.where(since >= 0, since + acc, since))
+            finished = finished | hit_eos | (new_pos >= steps)
+            # recycle verify logits beyond the commit point as next-block drafts:
+            # out[:, acc-1+i] predicts the token at position new_pos + i — the
+            # model's own guess, one-or-more wrong draft tokens in its prefix
+            if k_blk > 1:
+                i_slot = jnp.arange(1, k_blk)[None, :]       # (1, K-1)
+                src = acc[:, None] - 1 + i_slot              # (B, K-1)
+                rec = jnp.take_along_axis(
+                    out, jnp.clip(src, 0, k_blk - 1), axis=1)
+                avail = (src <= k_blk - 1) & ~finished[:, None] & (rec != PAD_ID)
+                recycled = jnp.where(avail, rec, -1)
+            return (new_pos, last_new, prev2_new, cls_tok, finished, since,
+                    recycled, tokens, confs, caches_new, n_iters + 1)
+
+        return cond_fn, body_fn
 
     state = (jnp.zeros((batch,), jnp.int32),            # pos
              jnp.full((batch,), BOS_ID, jnp.int32),     # last committed
@@ -267,8 +286,41 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
              jnp.full((batch, max(k_blk - 1, 0)), -1, jnp.int32),  # recycled
              tokens0, confs0, caches,
              jnp.zeros((), jnp.int32))                  # verify-block count
-    state = jax.lax.while_loop(cond_fn, body_fn, state)
-    tokens, confs = state[7], state[8]
-    return GenerateResult(tokens=tokens[:, : steps + 1],
-                          confs=confs[:, :steps][:, ::conf_every][:, :n_confs],
-                          n_iters=state[10])
+    cond_fn, body_fn = make_loop(mem_kvs)
+
+    if not (0 < compact_to < batch):
+        state = jax.lax.while_loop(cond_fn, body_fn, state)
+        tokens, confs = state[7], state[8]
+        return GenerateResult(
+            tokens=tokens[:, : steps + 1],
+            confs=confs[:, :steps][:, ::conf_every][:, :n_confs],
+            n_iters=state[10])
+
+    # ---- phase 1: full batch until <= compact_to rows remain live ---------
+    def cond1(state):
+        live = jnp.sum(~state[4])
+        return cond_fn(state) & (live > compact_to)
+
+    state = jax.lax.while_loop(cond1, body_fn, state)
+
+    # ---- compact: gather the surviving rows (stable: unfinished first) ----
+    finished = state[4]
+    order = jnp.argsort(finished.astype(jnp.int32))  # stable sort
+    idx = order[:compact_to]
+    take = lambda x: jnp.take(x, idx, axis=0)
+    mem_kvs_c = jax.tree_util.tree_map(take, mem_kvs)
+    # every leaf of the state except the scalar n_iters has a leading batch
+    # dim (caches are (B, H, L, Dh) lists-of-pairs)
+    state_c = tuple(jax.tree_util.tree_map(take, s)
+                    for s in state[:-1]) + (state[-1],)
+
+    # ---- phase 2: compact batch to completion ------------------------------
+    cond2, body2 = make_loop(mem_kvs_c)
+    state_c = jax.lax.while_loop(cond2, body2, state_c)
+
+    tokens = state[7].at[idx].set(state_c[7])
+    confs = state[8].at[idx].set(state_c[8])
+    return GenerateResult(
+        tokens=tokens[:, : steps + 1],
+        confs=confs[:, :steps][:, ::conf_every][:, :n_confs],
+        n_iters=state_c[10])

@@ -70,6 +70,7 @@ def build_model(cfg) -> EncoderDecoder:
         layerscale_init=cfg.enc_layerscale_init, out_dim=cfg.enc_out_dim,
         use_cls_token=cfg.enc_cls_token,
         gelu_approx=getattr(cfg, 'enc_gelu_approx', False),
+        attn_impl=getattr(cfg, 'enc_attn_impl', 'xla'),
         fuse_qkv=getattr(cfg, 'enc_fuse_qkv', True),
         scan_blocks=getattr(cfg, 'enc_scan_blocks', False), dtype=dtype,
         param_dtype=param_dtype)
@@ -94,3 +95,35 @@ def build_model(cfg) -> EncoderDecoder:
         patch_rate = cfg.patch_dropout_rate
     return EncoderDecoder(encoder=encoder, decoder=decoder,
                           patch_dropout_rate=patch_rate)
+
+
+def adapt_params_resolution(params, new_patches: int):
+    """Re-grid the two patch-sequence positional embeddings so a checkpoint
+    trained at one image size fine-tunes at another (e.g. 224² -> 448² for
+    small-defect localization): the encoder's ``pos_embed`` (1, N, D_enc)
+    and the decoder's ``encoder_pos_embed`` (1, N, D_dec) are bilinearly
+    resampled on the sqrt(N) x sqrt(N) patch grid — the same law
+    ``ViTEncoder._pos`` applies at runtime (vit.py) and the reference's
+    interpolation convention (model.py:64-68).  All other parameters are
+    resolution-independent and pass through unchanged."""
+    def regrid(pos):
+        n_old = pos.shape[1]
+        if n_old == new_patches:
+            return pos
+        s_old = int(round(n_old ** 0.5))
+        s_new = int(round(new_patches ** 0.5))
+        assert s_old * s_old == n_old and s_new * s_new == new_patches, \
+            "positional embeddings must live on square patch grids"
+        grid = pos.reshape(1, s_old, s_old, pos.shape[-1])
+        grid = jax.image.resize(grid, (1, s_new, s_new, pos.shape[-1]),
+                                method="bilinear")
+        return grid.reshape(1, new_patches, pos.shape[-1]).astype(pos.dtype)
+
+    p = params["params"] if "params" in params else params
+    enc = dict(p["encoder"])
+    enc["pos_embed"] = regrid(enc["pos_embed"])
+    dec = dict(p["decoder"])
+    dec["encoder_pos_embed"] = regrid(dec["encoder_pos_embed"])
+    out = dict(p)
+    out["encoder"], out["decoder"] = enc, dec
+    return {"params": out} if "params" in params else out

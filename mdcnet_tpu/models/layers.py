@@ -29,18 +29,45 @@ Dtype = Any
 
 
 def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                          bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                          bias: Optional[jnp.ndarray] = None,
+                          score_dtype=jnp.float32) -> jnp.ndarray:
     """q: (B, H, Lq, Dh), k/v: (B, H, Lk, Dh), bias: broadcastable to
-    (B, H, Lq, Lk).  Softmax in float32 for stability; output in q.dtype."""
+    (B, H, Lq, Lk).  Softmax in float32 for stability; output in q.dtype.
+    ``score_dtype=bfloat16`` halves the materialized score traffic (serving
+    knob; softmax still reduces in f32 via jax.nn.softmax's internal max)."""
     dh = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=score_dtype)
     scores = scores * (dh ** -0.5)
     if bias is not None:
-        scores = scores + bias
-    weights = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        scores = scores + bias.astype(score_dtype)
+    weights = jax.nn.softmax(scores.astype(jnp.float32),
+                             axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v,
                       preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def stock_flash_attention(q: jnp.ndarray, k: jnp.ndarray,
+                          v: jnp.ndarray) -> jnp.ndarray:
+    """Bias-free self-attention via the stock Pallas TPU flash kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention): scores/weights never
+    round-trip through HBM.  L is padded to a multiple of 128; padded keys
+    are masked out with SegmentIds, padded query rows are dropped."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    b, h, l, dh = q.shape
+    lp = -(-l // 128) * 128
+    if lp != l:
+        pad = ((0, 0), (0, 0), (0, lp - l), (0, 0))
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        seg = jnp.broadcast_to(
+            jnp.where(jnp.arange(lp) < l, 1, 2).astype(jnp.int32), (b, lp))
+        seg_ids = fa.SegmentIds(q=seg, kv=seg)
+    else:
+        seg_ids = None
+    out = fa.flash_attention(q, k, v, segment_ids=seg_ids,
+                             sm_scale=dh ** -0.5)
+    return out[:, :, :l].astype(q.dtype)
 
 
 class MultiHeadAttention(nn.Module):
@@ -54,6 +81,9 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     ring_axis: Optional[str] = None
     use_flash: bool = False  # Pallas blockwise attention (long sequences)
+    attn_impl: str = "xla"  # "xla" | "bf16" (bf16 score matmul) | "flash"
+    # (stock Pallas TPU kernel) — bias-free self-attention only; serving
+    # knobs measured by benchmarks/probe_enc_attn.py
     fuse_qkv: bool = False  # pack q/k/v into ONE matmul for self-attention
     # (same reduction per output column -> numerically identical; saves two
     # HBM reads of the input and two op launches per block; params stay
@@ -107,6 +137,10 @@ class MultiHeadAttention(nn.Module):
         elif self.use_flash and bias is None:
             from mdcnet_tpu.ops.attention import flash_attention
             out = flash_attention(q, k, v)
+        elif self.attn_impl == "flash" and bias is None:
+            out = stock_flash_attention(q, k, v)
+        elif self.attn_impl == "bf16" and bias is None:
+            out = dot_product_attention(q, k, v, score_dtype=jnp.bfloat16)
         else:
             out = dot_product_attention(q, k, v, bias)
         return self.out_proj(self.head_merge(out))

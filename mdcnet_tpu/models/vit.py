@@ -69,6 +69,7 @@ class ViTBlock(nn.Module):
     layerscale_init: float = 1e-6
     ring_axis: Optional[str] = None
     use_flash: bool = False
+    attn_impl: str = "xla"  # see MultiHeadAttention.attn_impl
     fuse_qkv: bool = False  # q/k/v as one packed matmul (see layers.py)
     gelu_approx: bool = False  # tanh-approx GELU (serving knob; exact erf
     # matches timm/torch bit-for-bit and stays the parity default)
@@ -86,6 +87,7 @@ class ViTBlock(nn.Module):
         h = MultiHeadAttention(self.dim, self.num_heads,
                                ring_axis=self.ring_axis,
                                use_flash=self.use_flash,
+                               attn_impl=self.attn_impl,
                                fuse_qkv=self.fuse_qkv, **kw,
                                name="attn")(h, h, h)
         # LayerScale gammas are param_dtype (f32); downcast the scaled
@@ -125,6 +127,7 @@ class ViTEncoder(nn.Module):
     use_cls_token: bool = True
     ring_axis: Optional[str] = None
     use_flash: bool = False  # Pallas blockwise attention in the blocks
+    attn_impl: str = "xla"   # "xla" | "bf16" | "flash" (layers.py)
     fuse_qkv: bool = False   # packed qkv matmul in block self-attention
     scan_blocks: bool = False  # run the stack as ONE lax.scan over stacked
     # per-block params: 12x fewer HLO ops (compile + launch overhead) with
@@ -152,6 +155,7 @@ class ViTEncoder(nn.Module):
                                 self.layerscale_init,
                                 ring_axis=self.ring_axis,
                                 use_flash=self.use_flash,
+                                attn_impl=self.attn_impl,
                                 fuse_qkv=self.fuse_qkv,
                                 gelu_approx=self.gelu_approx, **kw,
                                 name=f"block{i}")

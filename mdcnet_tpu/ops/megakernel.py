@@ -27,8 +27,11 @@ one pallas_call:
     in-kernel, attended in-register, and emitted as an output for the caller
     to append to the cache (one dynamic_update_slice in XLA).
 
-This kernel is the serving fast path behind ``generate(..., use_megakernel)``;
-the bf16 XLA path remains the parity-exact default.
+This kernel is an EXPERIMENTAL fixed-budget path behind
+``infer.generate.generate_megakernel`` (measured 1.09x over XLA at the full
+budget, 0.95x on the early-exit serving workload — docs/PERF.md); the bf16
+XLA path (+ speculative decoding) is the serving default and is the only
+path reachable from ``generate()``.
 
 Reference workload: inference_p.py:69-115 (greedy/top-k batch generation
 over a 101-step budget).

@@ -52,6 +52,12 @@ def main():
                     "when the optimizer tree changes, e.g. turning on "
                     "--grad-clip against an unclipped checkpoint; also "
                     "seconds instead of minutes over the device tunnel")
+    ap.add_argument("--resume-geom", type=int, default=0,
+                    help="image size the source checkpoint was trained at "
+                    "(with --resume-params and a different --img-size: the "
+                    "two patch-grid positional embeddings are bilinearly "
+                    "re-gridded — e.g. fine-tune the 224 flagship at 448 "
+                    "for small-defect localization)")
     ap.add_argument("--grad-clip", type=float, default=0.0,
                     help="global-norm gradient clip (0 = off)")
     ap.add_argument("--coord-sigma", type=float, default=0.0,
@@ -160,7 +166,24 @@ def main():
     step_base = 0
     if args.resume_params and ckpt.latest_step() is not None:
         step_base = ckpt.latest_step()
-        params = ckpt.restore_params(model, cfg)
+        if args.resume_geom and args.resume_geom != cfg.data.img_size:
+            # restore at the source geometry, then re-grid the patch-seq
+            # positional embeddings to the current one
+            from mdcnet_tpu.models.encdec import adapt_params_resolution
+            src_n = (args.resume_geom // cfg.model.patch_size) ** 2
+            src_cfg = cfg.replace(
+                data=dataclasses.replace(cfg.data,
+                                         img_size=args.resume_geom),
+                model=dataclasses.replace(cfg.model,
+                                          img_size=args.resume_geom,
+                                          num_patches=src_n))
+            src_model = build_model(src_cfg.model)
+            params = ckpt.restore_params(src_model, src_cfg)
+            params = adapt_params_resolution(params, cfg.model.num_patches)
+            print(f"re-gridded pos embeds {src_n} -> "
+                  f"{cfg.model.num_patches} patches", flush=True)
+        else:
+            params = ckpt.restore_params(model, cfg)
         state = state.replace(params=jax.device_put(params))
         print(f"resumed params from step {step_base}", flush=True)
     elif args.resume and ckpt.latest_step() is not None:

@@ -159,3 +159,24 @@ class TestScanBlocks:
         want = np.asarray(base.apply(params, images))
         got = np.asarray(scan.apply(params, images))
         np.testing.assert_allclose(got, want, atol=2e-6, rtol=1e-6)
+
+
+def test_attn_impl_bf16_close_to_xla():
+    """The bf16-score serving knob must track the f32-score attention
+    closely (it only changes the score matmul accumulation dtype)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from mdcnet_tpu.models.vit import ViTEncoder
+
+    kw = dict(patch_size=8, img_size=32, dim=64, depth=2, num_heads=4,
+              out_dim=48, dtype=jnp.float32, param_dtype=jnp.float32)
+    images = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    base = ViTEncoder(**kw)
+    params = base.init(jax.random.PRNGKey(1), images)
+    a = base.apply(params, images)
+    b = ViTEncoder(attn_impl="bf16", **kw).apply(params, images)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=5e-2, rtol=5e-2)
+    # must not be bit-identical (otherwise the knob is wired to nothing)
+    assert not np.array_equal(np.asarray(a), np.asarray(b))

@@ -149,3 +149,42 @@ class TestAxialGeneration:
             prefix[:, i + 1] = nxt
         np.testing.assert_array_equal(np.asarray(got.tokens),
                                       prefix[:, : steps + 1])
+
+
+class TestGreedyCompaction:
+    def test_compaction_identical_mixed_eos(self):
+        """Greedy batch compaction (compact_to) must be output-identical
+        for rows finishing at different steps (EOS-biased model) and for
+        the never-finishing untrained case."""
+        from mdcnet_tpu.config import test_preset
+
+        cfg = test_preset().model
+        model = build_model(cfg)
+        images = jax.random.uniform(jax.random.PRNGKey(3),
+                                    (4, cfg.img_size, cfg.img_size, 3))
+        params = model.init({"params": jax.random.PRNGKey(0)}, images,
+                            jnp.zeros((4, 10), jnp.int32))
+        biased = jax.tree_util.tree_map(lambda x: x, params)
+        b = biased["params"]["decoder"]["output"]["bias"]
+        biased["params"]["decoder"]["output"]["bias"] = b.at[EOS_ID].add(2.5)
+        conf_every = 4
+        for prm in (biased, params):
+            ref = generate(model, prm, images, jax.random.PRNGKey(0),
+                           steps=14, greedy=True, early_exit=True)
+            for compact in (1, 2, 3):
+                got = generate(model, prm, images, jax.random.PRNGKey(0),
+                               steps=14, greedy=True, early_exit=True,
+                               compact_to=compact)
+                tok_ref = np.asarray(ref.tokens)
+                np.testing.assert_array_equal(np.asarray(got.tokens),
+                                              tok_ref)
+                # confs agree at every pre-EOS recorded position (post-EOS
+                # slots hold PAD-step junk in the uncompacted path and zeros
+                # in the compacted one — postprocess never reads them)
+                for b in range(tok_ref.shape[0]):
+                    eos = np.flatnonzero(tok_ref[b] == EOS_ID)
+                    n_live = int(eos[0]) if eos.size else 14
+                    n_rec = (n_live + conf_every - 1) // conf_every
+                    np.testing.assert_allclose(
+                        np.asarray(got.confs)[b, :n_rec],
+                        np.asarray(ref.confs)[b, :n_rec], atol=1e-6)

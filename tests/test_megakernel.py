@@ -220,13 +220,14 @@ class TestGenerateIntegration:
         greedy tokens on a (deterministic, peaked-logit-free) tiny model up
         to quantization noise: first-step logits close, sequences mostly
         identical."""
-        from mdcnet_tpu.infer.generate import generate
+        from mdcnet_tpu.infer.generate import generate, generate_megakernel
         model, params, images, cfg = self._build()
         rng = jax.random.PRNGKey(0)
         ref = generate(model, params, images, rng, steps=8, greedy=True,
                        early_exit=False)
-        got = generate(model, params, images, rng, steps=8, greedy=True,
-                       early_exit=False, use_megakernel=True)
+        encoder_out = model.apply(params, images, method="encode")
+        got = generate_megakernel(model, params, encoder_out, rng, steps=8,
+                                  greedy=True, early_exit=False)
         assert got.tokens.shape == ref.tokens.shape
         agree = np.mean(np.asarray(got.tokens) == np.asarray(ref.tokens))
         assert agree >= 0.7, f"token agreement {agree}"

@@ -156,3 +156,48 @@ class TestAxialVariant:
         logits = model.apply(params, images, tgt)
         # no BOS prepend (axial_model.py:88-101): L stays 10
         assert logits.shape == (2, 10, cfg.vocab_size)
+
+
+def test_adapt_params_resolution():
+    """A checkpoint's patch-grid pos embeds re-gridded to a new image size
+    must drive the higher-resolution model end to end, and the re-grid must
+    follow the runtime bilinear law (vit._pos / jax.image.resize)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mdcnet_tpu.config import test_preset
+    from mdcnet_tpu.models import build_model
+    from mdcnet_tpu.models.encdec import adapt_params_resolution
+
+    cfg = test_preset().model
+    model32 = build_model(cfg)
+    images32 = jax.random.uniform(jax.random.PRNGKey(0),
+                                  (2, cfg.img_size, cfg.img_size, 3))
+    params32 = model32.init({"params": jax.random.PRNGKey(1)}, images32,
+                            jnp.zeros((2, 8), jnp.int32))
+
+    size2 = cfg.img_size * 2
+    n2 = (size2 // cfg.patch_size) ** 2
+    cfg2 = dc.replace(cfg, img_size=size2, num_patches=n2)
+    model64 = build_model(cfg2)
+    params64 = adapt_params_resolution(params32, n2)
+
+    pe = params64["params"]["encoder"]["pos_embed"]
+    de = params64["params"]["decoder"]["encoder_pos_embed"]
+    assert pe.shape[1] == n2 and de.shape[1] == n2
+    # matches the bilinear grid law directly
+    old = params32["params"]["encoder"]["pos_embed"]
+    s_old = int(old.shape[1] ** 0.5)
+    s_new = int(n2 ** 0.5)
+    want = jax.image.resize(old.reshape(1, s_old, s_old, -1),
+                            (1, s_new, s_new, old.shape[-1]),
+                            "bilinear").reshape(1, n2, -1)
+    np.testing.assert_allclose(np.asarray(pe), np.asarray(want), atol=1e-6)
+
+    images64 = jax.random.uniform(jax.random.PRNGKey(2), (2, size2, size2, 3))
+    out = model64.apply(params64, images64, jnp.zeros((2, 8), jnp.int32))
+    assert out.shape == (2, 9, cfg.vocab_size)
+    assert np.isfinite(np.asarray(out)).all()

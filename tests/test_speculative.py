@@ -124,6 +124,27 @@ class TestSpeculativeExactness:
                                        np.asarray(b.confs), atol=1e-6)
             assert int(a.n_iters) == int(b.n_iters)
 
+    def test_compaction_identical(self, setup, gc10_tables):
+        """compact_to: phase-2 batch compaction (the raggedness fix) must
+        move rows without changing a single token or confidence, for mixed
+        finish times (EOS-biased model), the untrained all-run-to-budget
+        case, and every compact size."""
+        cfg, model, params, images = setup
+        p = jax.tree_util.tree_map(lambda x: x, params)
+        bias = p["params"]["decoder"]["output"]["bias"]
+        p["params"]["decoder"]["output"]["bias"] = bias.at[EOS_ID].add(2.5)
+        for prm in (p, params):
+            ref = generate_speculative(model, prm, images, gc10_tables[0],
+                                       steps=14, draft_k=4)
+            for compact in (1, 2, 3):
+                got = generate_speculative(model, prm, images,
+                                           gc10_tables[0], steps=14,
+                                           draft_k=4, compact_to=compact)
+                np.testing.assert_array_equal(np.asarray(got.tokens),
+                                              np.asarray(ref.tokens))
+                np.testing.assert_allclose(np.asarray(got.confs),
+                                           np.asarray(ref.confs), atol=1e-6)
+
     def test_n_iters_counter(self, setup, gc10_tables):
         """n_iters reports the verify-block count: bounded below by the
         ideal ceil(steps/K) schedule and above by one block per token
