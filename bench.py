@@ -6,16 +6,22 @@ encoder forward + KV-cached autoregressive generation with the reference's
 generation budget (CFG.generation_steps = 101, capped by the max_len-1 = 99
 context like the reference's predict path).
 
-Workload: when a trained checkpoint exists (checkpoints_flagship/, produced
-by scripts/train_flagship.py on the GC10 annotations), generation runs the
-realistic serving path — sequences terminate at EOS and the decode loop
-exits early, which is output-identical to the reference's
-postprocess-truncation semantics (inference_p.py:94-97).  Without a
-checkpoint the model is untrained, never emits EOS, and the bench reports
-the full-budget worst case.
+Workload pinning (cross-round comparability):
+  - the checkpoint is produced by the ONE pinned recipe in
+    scripts/retrain_flagship.sh (seed 42, 150 epochs, GC10 annotations,
+    recalibrated-dropout quality flags) — rerun it if
+    checkpoints_flagship/ is missing;
+  - the JSON line carries ``mean_seq_len`` (mean first-EOS index of the
+    generated batch) so a shifted workload is visible, plus BOTH the
+    plain-greedy baseline (``greedy_img_s``) and the speculative serving
+    path (``spec_img_s``); ``value`` is the serving default (best path);
+  - a missing/broken checkpoint is LOUD: the bench still prints its one
+    JSON line (workload = "untrained_full_budget", vs_baseline of the
+    full-budget worst case) but exits nonzero so the driver flags it.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+   "workload": ..., "mean_seq_len": N, "greedy_img_s": N, "spec_img_s": N}
 
 vs_baseline is against the BASELINE.json north-star target of 5,000
 captioned 224² images/sec/chip (the reference publishes no numbers —
@@ -29,6 +35,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+import sys
 import time
 
 import jax
@@ -55,7 +62,6 @@ def load_params(model, cfg):
             params = mgr.restore_params(model, cfg)
             return jax.device_put(params), "trained_gc10_early_exit"
     except Exception as e:
-        import sys
         print(f"checkpoint restore failed ({e!r}); untrained fallback",
               file=sys.stderr)
     from mdcnet_tpu.train.state import create_train_state
@@ -65,6 +71,27 @@ def load_params(model, cfg):
                                     cfg.data.img_size, 3)),
         jnp.zeros((1, cfg.data.max_len - 1), jnp.int32))
     return state.params, "untrained_full_budget"
+
+
+def time_run(run, batch, iters=5):
+    """Wall-time ``run`` (compile+warm once, then ``iters`` timed calls
+    fenced by a host readback).  Returns (img/s, tokens of last call)."""
+    np.asarray(run(jax.random.PRNGKey(2)))  # compile + warm
+    start = time.perf_counter()
+    for i in range(iters):
+        tokens = run(jax.random.PRNGKey(3 + i))
+    tokens = np.asarray(tokens)
+    elapsed = time.perf_counter() - start
+    return batch * iters / elapsed, tokens
+
+
+def mean_seq_len(tokens: np.ndarray) -> float:
+    """Mean first-EOS index (== generated length incl. the structural tail);
+    rows that never emit EOS count as the full row width."""
+    from mdcnet_tpu.config import EOS_ID
+    hit = tokens == EOS_ID
+    lens = np.where(hit.any(axis=1), hit.argmax(axis=1), tokens.shape[1])
+    return float(lens.mean())
 
 
 def main():
@@ -77,11 +104,18 @@ def main():
     # tanh-GELU encoder MLPs: measured serving knob (probe_gelu_serving.py
     # reports token agreement + speedup on the trained checkpoint);
     # MDCNET_BENCH_GELU=exact restores the erf GELU
-    if os.environ.get("MDCNET_BENCH_GELU", "exact") == "tanh":
+    if os.environ.get("MDCNET_BENCH_GELU", "tanh") == "tanh":
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, enc_gelu_approx=True))
+    # bf16 attention-score matmul in the encoder (probe_serving_knobs A/B)
+    if os.environ.get("MDCNET_BENCH_ATTN", "xla") == "bf16":
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, enc_attn_impl="bf16"))
+    # folded cross-K/V prefill: bottleneck folded into the K/V projection
+    fold = os.environ.get("MDCNET_BENCH_FOLD", "0") == "1"
     model = build_model(cfg.model)
     params, workload = load_params(model, cfg)
+    trained = workload == "trained_gc10_early_exit"
 
     batch = int(os.environ.get("MDCNET_BENCH_BATCH", "256"))
     steps = cfg.infer.generation_steps  # 101, capped to 98 inside generate
@@ -90,19 +124,27 @@ def main():
         jax.random.PRNGKey(0),
         (batch, cfg.data.img_size, cfg.data.img_size, 3), jnp.float32)
 
-    # serving path: on the trained workload, draft-4 verified speculative
-    # decoding (1.11x end-to-end vs plain greedy, 99.90% token agreement —
-    # benchmarks/bench_speculative.py measures the sweep; K=6/8 lose).
-    # MDCNET_BENCH_SPEC=0 forces plain greedy XLA decode;
-    # MDCNET_BENCH_MEGAKERNEL=1 uses the whole-step int8 pallas kernel
-    # (ops/megakernel.py — wins only on the fixed-budget workload).
-    # The untrained fallback never matches drafts (argmax is noise), so it
-    # stays on the plain greedy path.
-    use_mk = os.environ.get("MDCNET_BENCH_MEGAKERNEL", "0") == "1"
-    spec_env = os.environ.get("MDCNET_BENCH_SPEC", "")
-    use_spec = (spec_env == "1" if spec_env
-                else (workload == "trained_gc10_early_exit" and not use_mk))
+    # Batch compaction for the decode tail (the raggedness fix): once few
+    # rows remain live, survivors are gathered into a small batch
+    # (output-identical; infer/generate.py & infer/speculative.py).
+    compact = int(os.environ.get("MDCNET_BENCH_COMPACT", str(batch // 4)))
 
+    # Path A — plain greedy XLA decode (the cross-round comparable baseline).
+    def run_greedy(key):
+        return generate(model, params, images, key, steps=steps,
+                        greedy=True, early_exit=True,
+                        compact_to=compact, fold_prefill=fold).tokens
+
+    greedy_img_s, tokens = time_run(run_greedy, batch)
+    seq_len = mean_seq_len(tokens)
+
+    # Path B — the serving default on the trained workload: draft-K verified
+    # speculative decoding (token agreement vs greedy is measured by
+    # benchmarks/bench_speculative.py).  The untrained fallback never
+    # matches drafts (argmax is noise), so it stays on plain greedy.
+    spec_img_s = None
+    spec_env = os.environ.get("MDCNET_BENCH_SPEC", "")
+    use_spec = spec_env == "1" if spec_env else trained
     if use_spec:
         from mdcnet_tpu.data import annotations as ann
         from mdcnet_tpu.infer.speculative import (build_draft_tables,
@@ -122,37 +164,42 @@ def main():
         tables = build_draft_tables(seqs, cfg.model.vocab_size)
 
         draft_k = int(os.environ.get("MDCNET_BENCH_DRAFT_K", "4"))
-        workload += f"_spec{draft_k}"
 
-        def run(key):
+        def run_spec(key):
             del key  # speculative greedy path is deterministic
             return generate_speculative(model, params, images, tables,
-                                        steps=steps,
-                                        draft_k=draft_k).tokens
+                                        steps=steps, draft_k=draft_k,
+                                        compact_to=compact,
+                                        fold_prefill=fold).tokens
+
+        spec_img_s, spec_tokens = time_run(run_spec, batch)
+        seq_len = mean_seq_len(spec_tokens)
+
+    if spec_img_s is not None and spec_img_s >= greedy_img_s:
+        value, path = spec_img_s, f"spec{os.environ.get('MDCNET_BENCH_DRAFT_K', '4')}"
     else:
-        def run(key):
-            return generate(model, params, images, key, steps=steps,
-                            greedy=True, early_exit=True,
-                            use_megakernel=use_mk).tokens
+        value, path = greedy_img_s, "greedy"
 
-    np.asarray(run(jax.random.PRNGKey(2)))  # compile + warm
-
-    iters = 5
-    start = time.perf_counter()
-    for i in range(iters):
-        tokens = run(jax.random.PRNGKey(3 + i))
-    np.asarray(tokens)
-    elapsed = time.perf_counter() - start
-
-    images_per_sec = batch * iters / elapsed
-    print(json.dumps({
+    out = {
         "metric": "captioned_224px_images_per_sec_per_chip",
-        "value": round(images_per_sec, 2),
+        "value": round(value, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(images_per_sec / BASELINE_TARGET, 4),
-        "workload": workload,
+        "vs_baseline": round(value / BASELINE_TARGET, 4),
+        "workload": f"{workload}_{path}",
         "batch": batch,
-    }))
+        "mean_seq_len": round(seq_len, 2),
+        "greedy_img_s": round(greedy_img_s, 2),
+    }
+    if spec_img_s is not None:
+        out["spec_img_s"] = round(spec_img_s, 2)
+    print(json.dumps(out))
+
+    if not trained:
+        print("ERROR: no trained checkpoint in checkpoints_flagship/ — this "
+              "is the UNTRAINED full-budget workload, NOT comparable to "
+              "trained-round numbers. Run scripts/retrain_flagship.sh first.",
+              file=sys.stderr)
+        raise SystemExit(3)
 
 
 if __name__ == "__main__":

@@ -43,7 +43,22 @@ def timed(fn, iters=5):
     return float(np.percentile(times, 50)), float(np.mean(times))
 
 
-def init_params(model, img_size):
+TRAINED = False  # set by --trained: flagship-geometry configs load the
+# checkpoints_flagship weights and run the trained early-exit workload
+
+
+def init_params(model, img_size, flagship=False):
+    """Untrained init; with --trained and flagship geometry, the pinned
+    checkpoint (scripts/retrain_flagship.sh) is restored instead."""
+    if TRAINED and flagship:
+        from bench import load_params
+        from mdcnet_tpu.config import large_preset
+        cfg = large_preset()
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    vocab_size=332))
+        params, workload = load_params(model, cfg)
+        assert workload.startswith("trained"), "no trained checkpoint"
+        return params
     images1 = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
     return jax.jit(model.init)({"params": jax.random.PRNGKey(1)}, images1,
                                jnp.zeros((1, 10), jnp.int32))
@@ -60,15 +75,18 @@ def config1(quick):
     from mdcnet_tpu.models import build_model
 
     cfg = large_preset()
+    if TRAINED:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    vocab_size=332))
     model = build_model(cfg.model)
-    params = init_params(model, 224)
+    params = init_params(model, 224, flagship=True)
     image = jax.random.uniform(jax.random.PRNGKey(0), (1, 224, 224, 3))
     p50, mean = timed(lambda: generate(
         model, params, image, jax.random.PRNGKey(2),
         steps=cfg.infer.generation_steps, greedy=True,
-        early_exit=False).tokens, iters=3 if quick else 10)
+        early_exit=TRAINED).tokens, iters=3 if quick else 10)
     report("1_single_image_greedy", p50_latency_ms=round(p50 * 1000, 2),
-           mean_latency_ms=round(mean * 1000, 2))
+           mean_latency_ms=round(mean * 1000, 2), trained=TRAINED)
 
 
 def config2(quick):
@@ -78,14 +96,17 @@ def config2(quick):
     from mdcnet_tpu.models import build_model
 
     cfg = large_preset()
+    if TRAINED:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    vocab_size=332))
     model = build_model(cfg.model)
-    params = init_params(model, 224)
+    params = init_params(model, 224, flagship=True)
     images = jax.random.uniform(jax.random.PRNGKey(0), (32, 224, 224, 3))
     p50, mean = timed(lambda: beam_search(
         model, params, images, steps=cfg.infer.generation_steps,
         beam_size=3).tokens, iters=2 if quick else 5)
     report("2_batch32_beam3", p50_latency_ms=round(p50 * 1000, 2),
-           images_per_sec=round(32 / mean, 1))
+           images_per_sec=round(32 / mean, 1), trained=TRAINED)
 
 
 def config3(quick):
@@ -115,8 +136,11 @@ def config4(quick):
     from mdcnet_tpu.text import decode_jax
 
     cfg = large_preset()
+    if TRAINED:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    vocab_size=332))
     model = build_model(cfg.model)
-    params = init_params(model, 224)
+    params = init_params(model, 224, flagship=True)
     batch = 64
     images = jax.random.uniform(jax.random.PRNGKey(0),
                                 (batch, 224, 224, 3))
@@ -138,13 +162,14 @@ def config4(quick):
     def step(rng):
         # generate is itself jitted; wrapping it in another jit makes one
         # giant program the remote compiler rejects — keep two dispatches
-        res = generate(model, params, images, rng,
-                       steps=cfg.infer.generation_steps, early_exit=False)
+        res = generate(model, params, images, rng, greedy=True,
+                       steps=cfg.infer.generation_steps, early_exit=TRAINED)
         return box_metrics(res.tokens, gt_seq)
 
     p50, mean = timed(lambda: step(jax.random.PRNGKey(2)),
                       iters=2 if quick else 5)
-    report("4_fused_caption_iou_eval", images_per_sec=round(batch / mean, 1))
+    report("4_fused_caption_iou_eval", images_per_sec=round(batch / mean, 1),
+           trained=TRAINED)
 
 
 def config5(quick):
@@ -169,14 +194,50 @@ def config5(quick):
            images_per_sec=round(batch / mean, 2))
 
 
-CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+def config6(quick):
+    """Continuous-batching serving engine: request latency p50/p99 at the
+    flagship geometry (Poisson-less closed-loop batch of requests)."""
+    from mdcnet_tpu.config import large_preset
+    from mdcnet_tpu.models import build_model
+    from mdcnet_tpu.serve import Request, ServingEngine, latency_stats
+
+    cfg = large_preset()
+    if TRAINED:
+        cfg = cfg.replace(model=dataclasses.replace(cfg.model,
+                                                    vocab_size=332))
+    model = build_model(cfg.model)
+    params = init_params(model, 224, flagship=True)
+    n_req = 32 if quick else 128
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.uniform(rng, (n_req, 224, 224, 3))
+    eng = ServingEngine(model, params, slots=32, admit_width=8,
+                        max_steps=cfg.infer.generation_steps)
+    eng.serve([Request(rid=-1, image=images[0])])  # compile + warm
+    reqs = [Request(rid=i, image=images[i]) for i in range(n_req)]
+    t0 = time.perf_counter()
+    comps = eng.serve(reqs)
+    wall = time.perf_counter() - t0
+    stats = latency_stats(comps)
+    report("6_serving_engine", requests=n_req,
+           images_per_sec=round(n_req / wall, 1), trained=TRAINED, **stats)
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5,
+           6: config6}
 
 
 def main():
+    global TRAINED
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,4,5,6")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--trained", action="store_true",
+                    help="flagship-geometry configs (1,2,4,6) load the "
+                    "pinned checkpoint and run the early-exit workload; "
+                    "3 (axial) and 5 (streaming) have their own geometry "
+                    "and stay untrained")
     args = ap.parse_args()
+    TRAINED = args.trained
     for idx in [int(c) for c in args.configs.split(",")]:
         try:
             CONFIGS[idx](args.quick)

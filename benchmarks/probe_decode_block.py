@@ -86,20 +86,25 @@ def main():
                                method=lambda m, *a:
                                m.decoder.decode_block_split(*a))[0]
 
-        @jax.jit
-        def split_commit(params, k=k, toks=toks):
-            caches = decoder.init_cache(batch, cache_len + k)
-            logits, blk_kvs = model.apply(
-                params, toks, pos_v, caches, mem_kvs,
-                method=lambda m, *a: m.decoder.decode_block_split(*a))
-            acc = jnp.full((batch,), k, jnp.int32)
-            return logits, decoder.commit_blocks(caches, blk_kvs, pos_v, acc)
+        def mk_commit(impl):
+            @jax.jit
+            def split_commit(params, k=k, toks=toks):
+                caches = decoder.init_cache(batch, cache_len + k)
+                logits, blk_kvs = model.apply(
+                    params, toks, pos_v, caches, mem_kvs,
+                    method=lambda m, *a: m.decoder.decode_block_split(*a))
+                acc = jnp.full((batch,), k, jnp.int32)
+                return logits, decoder.commit_blocks(caches, blk_kvs,
+                                                     pos_v, acc, impl=impl)
+            return split_commit
 
         ms = bench(block, params)
         ms_s = bench(block_split, params)
-        ms_c = bench(split_commit, params)
+        ms_c = bench(mk_commit("scatter"), params)
+        ms_g = bench(mk_commit("gather"), params)
         print(f"K={k}: scatter-block={ms:7.2f}  split-noc={ms_s:7.2f}  "
-              f"split+commit={ms_c:7.2f} ms")
+              f"split+scatter-commit={ms_c:7.2f}  "
+              f"split+gather-commit={ms_g:7.2f} ms")
 
 
 if __name__ == "__main__":

@@ -57,11 +57,11 @@ def xla_attn(q, k, v, score_dtype):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-def main():
+def attn_suite(b, h, l, dh, tag):
     key = jax.random.PRNGKey(0)
-    q = jax.random.normal(key, (B, H, L, DH), jnp.bfloat16)
-    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, L, DH), jnp.bfloat16)
-    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, L, DH), jnp.bfloat16)
+    q = jax.random.normal(key, (b, h, l, dh), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, l, dh), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, l, dh), jnp.bfloat16)
 
     def scan_attn(attn):
         @jax.jit
@@ -76,37 +76,30 @@ def main():
     ms_f32 = timed(scan_attn(functools.partial(xla_attn,
                                                score_dtype=jnp.float32)),
                    q, k, v)
-    print(f"xla attention, f32 scores : {ms_f32:7.3f} ms/block-attn")
+    print(f"[{tag}] xla attention, f32 scores : {ms_f32:7.3f} ms/block-attn")
     ms_bf16 = timed(scan_attn(functools.partial(xla_attn,
                                                 score_dtype=jnp.bfloat16)),
                     q, k, v)
-    print(f"xla attention, bf16 scores: {ms_bf16:7.3f} ms/block-attn")
+    print(f"[{tag}] xla attention, bf16 scores: {ms_bf16:7.3f} ms/block-attn")
 
-    # --- stock pallas flash, padded to 256 ---------------------------------
-    from jax.experimental.pallas.ops.tpu import flash_attention as fa
-
-    LP = 256
-    pad = ((0, 0), (0, 0), (0, LP - L), (0, 0))
-    qp = jnp.pad(q, pad)
-    kp = jnp.pad(k, pad)
-    vp = jnp.pad(v, pad)
-    seg = jnp.where(jnp.arange(LP)[None, :] < L, 1, 2
-                    ).astype(jnp.int32).repeat(B, 0).reshape(B, LP)
-    seg_ids = fa.SegmentIds(q=seg, kv=seg)
-
-    def flash(qc, kc, vc):
-        return fa.flash_attention(qc, kc, vc, segment_ids=seg_ids,
-                                  sm_scale=DH ** -0.5)
+    # --- stock pallas flash, padded to a 128 multiple ----------------------
+    from mdcnet_tpu.models.layers import stock_flash_attention
 
     try:
-        ms_flash = timed(scan_attn(flash), qp, kp, vp)
-        print(f"pallas stock flash (L=256): {ms_flash:7.3f} ms/block-attn")
-        # numerics: flash vs xla on the real 197 window
-        got = np.asarray(flash(qp, kp, vp)[:, :, :L].astype(jnp.float32))
+        ms_flash = timed(scan_attn(stock_flash_attention), q, k, v)
+        print(f"[{tag}] pallas stock flash      : {ms_flash:7.3f} "
+              "ms/block-attn")
+        got = np.asarray(stock_flash_attention(q, k, v).astype(jnp.float32))
         want = np.asarray(xla_attn(q, k, v, jnp.float32).astype(jnp.float32))
         print(f"  max|flash-xla| = {np.abs(got - want).max():.2e}")
     except Exception as e:
-        print(f"pallas stock flash FAILED: {e!r}"[:300])
+        print(f"[{tag}] pallas stock flash FAILED: {e!r}"[:300])
+
+
+def main():
+    attn_suite(B, H, L, DH, "224px B=256 L=197")
+    attn_suite(32, 8, 1024, 64, "512px B=32 L=1024")
+    key = jax.random.PRNGKey(0)
 
     # --- matmul rate: MLP fc1 shape, bf16 vs int8 --------------------------
     M, Kd, N = B * L, 512, 2048

@@ -42,16 +42,30 @@ class GenerateResult(NamedTuple):
     n_iters: jnp.ndarray | None = None
 
 
+def prepare_memory_folded_from_images(model, params, images: jnp.ndarray):
+    """Cross-attention K/V straight from pixels with the channel bottleneck
+    folded into the K/V projection (decoder.prepare_memory_folded): halves
+    the prefill contraction and never materializes the (B, N, D)
+    bottleneck output.  Returns (mem_kvs, batch)."""
+    enc_raw = model.apply(params, images,
+                          method=lambda m, im: m.encoder.encode_raw(im))
+    return model.apply(
+        params, enc_raw,
+        method=lambda m, e: m.decoder.prepare_memory_folded(
+            e, m.encoder.pool_matrix())), enc_raw.shape[0]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("model", "steps", "top_k", "top_p", "greedy",
                      "conf_every", "temperature", "early_exit",
-                     "compact_to"))
+                     "compact_to", "fold_prefill"))
 def generate(model, params, images: jnp.ndarray, rng: jax.Array,
              steps: int = 101, top_k: int = 0, top_p: float = 1.0,
              greedy: bool = True, conf_every: int = 4,
              temperature: float = 1.0, early_exit: bool = True,
-             compact_to: int = 0) -> GenerateResult:
+             compact_to: int = 0, fold_prefill: bool = False
+             ) -> GenerateResult:
     """Batch generation. images: (B, H, W, 3). Returns token sequences seeded
     with BOS, matching ``generate`` (inference_p.py:69-90) behavior.
 
@@ -62,6 +76,14 @@ def generate(model, params, images: jnp.ndarray, rng: jax.Array,
     PAD after EOS here, early exit is output-identical and ~4x faster on
     GC10-length (~21 token) sequences.
     """
+    if fold_prefill and getattr(model.decoder, "prepend_bos", True):
+        mem_kvs, _ = prepare_memory_folded_from_images(model, params, images)
+        return generate_from_memory(model, params, None, rng, steps=steps,
+                                    top_k=top_k, top_p=top_p, greedy=greedy,
+                                    conf_every=conf_every,
+                                    temperature=temperature,
+                                    early_exit=early_exit,
+                                    compact_to=compact_to, mem_kvs=mem_kvs)
     encoder_out = model.apply(params, images, method="encode")
     if not getattr(model.decoder, "prepend_bos", True):
         # Axial variant: its attention block runs non-causally over the whole
@@ -136,12 +158,12 @@ def _generate_uncached(model, params, encoder_out, rng, steps, top_k, top_p,
     static_argnames=("model", "steps", "top_k", "top_p", "greedy",
                      "conf_every", "temperature", "early_exit",
                      "compact_to"))
-def generate_from_memory(model, params, encoder_out: jnp.ndarray,
-                         rng: jax.Array, steps: int = 101, top_k: int = 0,
+def generate_from_memory(model, params, encoder_out, rng: jax.Array,
+                         steps: int = 101, top_k: int = 0,
                          top_p: float = 1.0, greedy: bool = True,
                          conf_every: int = 4, temperature: float = 1.0,
-                         early_exit: bool = True,
-                         compact_to: int = 0) -> GenerateResult:
+                         early_exit: bool = True, compact_to: int = 0,
+                         mem_kvs=None) -> GenerateResult:
     """Generation from a precomputed encoder output (B, N, D) — used by the
     context-parallel streaming path where encoding happens under shard_map.
 
@@ -154,12 +176,13 @@ def generate_from_memory(model, params, encoder_out: jnp.ndarray,
     zeros.
     """
     decoder = model.decoder
-    batch = encoder_out.shape[0]
     cache_len = decoder.max_len - 1
     steps = min(steps, cache_len - 1)
 
-    mem_kvs = model.apply(params, encoder_out,
-                          method=lambda m, e: m.decoder.prepare_memory(e))
+    if mem_kvs is None:
+        mem_kvs = model.apply(params, encoder_out,
+                              method=lambda m, e: m.decoder.prepare_memory(e))
+    batch = jax.tree_util.tree_leaves(mem_kvs)[0].shape[0]
     caches = decoder.init_cache(batch, cache_len)
 
     bos = jnp.full((batch,), BOS_ID, dtype=jnp.int32)

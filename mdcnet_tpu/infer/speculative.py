@@ -129,17 +129,26 @@ def draft_tokens(tables: DraftTables, prev2: jnp.ndarray, prev: jnp.ndarray,
     jax.jit,
     static_argnames=("model", "steps", "draft_k", "top_k", "top_p",
                      "conf_every", "temperature", "block_impl",
-                     "compact_to"))
+                     "compact_to", "fold_prefill"))
 def generate_speculative(model, params, images: jnp.ndarray,
                          tables: DraftTables, steps: int = 101,
                          draft_k: int = 8, top_k: int = 0,
                          top_p: float = 1.0, conf_every: int = 4,
                          temperature: float = 1.0,
                          block_impl: str = "split",
-                         compact_to: int = 0) -> GenerateResult:
+                         compact_to: int = 0,
+                         fold_prefill: bool = False) -> GenerateResult:
     """Greedy generation with draft-K verification; output tokens identical
     to ``generate(greedy=True, early_exit=True)``; confidences identical at
     every committed (pre-EOS) position."""
+    if fold_prefill:
+        from mdcnet_tpu.infer.generate import prepare_memory_folded_from_images
+        mem_kvs, _ = prepare_memory_folded_from_images(model, params, images)
+        return generate_speculative_from_memory(
+            model, params, None, tables, steps=steps, draft_k=draft_k,
+            top_k=top_k, top_p=top_p, conf_every=conf_every,
+            temperature=temperature, block_impl=block_impl,
+            compact_to=compact_to, mem_kvs=mem_kvs)
     encoder_out = model.apply(params, images, method="encode")
     return generate_speculative_from_memory(
         model, params, encoder_out, tables, steps=steps, draft_k=draft_k,
@@ -153,13 +162,14 @@ def generate_speculative(model, params, images: jnp.ndarray,
     static_argnames=("model", "steps", "draft_k", "top_k", "top_p",
                      "conf_every", "temperature", "block_impl",
                      "compact_to"))
-def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
+def generate_speculative_from_memory(model, params, encoder_out,
                                      tables: DraftTables, steps: int = 101,
                                      draft_k: int = 8, top_k: int = 0,
                                      top_p: float = 1.0, conf_every: int = 4,
                                      temperature: float = 1.0,
                                      block_impl: str = "split",
-                                     compact_to: int = 0) -> GenerateResult:
+                                     compact_to: int = 0,
+                                     mem_kvs=None) -> GenerateResult:
     """``compact_to > 0``: two-phase raggedness fix.  The while_loop runs to
     the SLOWEST of B rows; rows whose captions draft badly take near-greedy
     block counts while every finished row still pays the full per-block
@@ -172,14 +182,15 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
     decoder = model.decoder
     assert getattr(decoder, "prepend_bos", True), \
         "speculative decode requires the standard causal decoder"
-    batch = encoder_out.shape[0]
     cache_len = decoder.max_len - 1
     steps = min(steps, cache_len - 1)
     k_blk = min(draft_k, steps)
     n_confs = (steps + conf_every - 1) // conf_every
 
-    mem_kvs = model.apply(params, encoder_out,
-                          method=lambda m, e: m.decoder.prepare_memory(e))
+    if mem_kvs is None:
+        mem_kvs = model.apply(params, encoder_out,
+                              method=lambda m, e: m.decoder.prepare_memory(e))
+    batch = jax.tree_util.tree_leaves(mem_kvs)[0].shape[0]
     # +k_blk slack: draft slots beyond the commit point are overwritten by
     # the next block before they ever become attendable
     caches = decoder.init_cache(batch, cache_len + k_blk)
@@ -203,7 +214,7 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
             drafts = draft_tokens(tables, prev2, last, cls_tok, since, k_blk,
                                   recycled=recycled)
             block = jnp.concatenate([last[:, None], drafts], axis=1)  # (B,K)
-            if block_impl == "split":
+            if block_impl.startswith("split"):
                 # scatter-free verify: caches stay read-only through the block
                 # call; accepted rows are committed once, after acc is known
                 logits, blk_kvs = model.apply(
@@ -228,8 +239,13 @@ def generate_speculative_from_memory(model, params, encoder_out: jnp.ndarray,
             acc = 1 + alive.sum(axis=1)                      # (B,) in [1, K]
             acc = jnp.minimum(acc, steps - pos)
             acc = jnp.where(finished, 0, acc)
-            if block_impl == "split":
-                caches_new = decoder.commit_blocks(caches, blk_kvs, pos, acc)
+            if block_impl.startswith("split"):
+                # "split" commits via scatter, "split_gather" via the
+                # vectorized gather+select twin (decoder.commit_blocks)
+                caches_new = decoder.commit_blocks(
+                    caches, blk_kvs, pos, acc,
+                    impl="gather" if block_impl == "split_gather"
+                    else "scatter")
             else:
                 caches_new = caches
 

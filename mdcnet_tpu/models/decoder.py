@@ -180,6 +180,48 @@ class CaptionDecoder(nn.Module):
             kvs = [(quant_padded(k), quant_padded(v)) for k, v in kvs]
         return kvs
 
+    def prepare_memory_folded(self, enc_raw: jnp.ndarray,
+                              pool_mat: Optional[jnp.ndarray]
+                              ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Cross-attention K/V prefill with the encoder's static channel
+        bottleneck folded in: instead of
+
+            kv = (enc_raw @ pool + pos) @ W_kv + b          (contraction D)
+
+        compute
+
+            kv = enc_raw @ (pool @ W_kv) + (pos @ W_kv + b)  (contraction d)
+
+        where d = encoder dim (512 at flagship) < D = decoder dim (1024) —
+        the pool matrix has rank <= d, so the fold HALVES the prefill FLOPs
+        and skips materializing the (B, N, D) bottleneck output entirely.
+        Same math, different association (bf16 rounding differs — serving
+        knob; closeness tested in tests/test_model.py).  ``pool_mat`` None
+        means the bottleneck is the identity (enc dim == decoder dim)."""
+        pk = lambda m: m.variables["params"]
+        projs = [m for layer in self.layers
+                 for m in (layer.cross_attn.k_proj, layer.cross_attn.v_proj)]
+        w = jnp.concatenate([pk(m)["kernel"] for m in projs],
+                            axis=1).astype(self.dtype)        # (D, 2LD)
+        bias = jnp.concatenate([pk(m)["bias"] for m in projs]
+                               ).astype(self.dtype)
+        w_f = w if pool_mat is None else pool_mat.astype(self.dtype) @ w
+        b_f = self.encoder_pos_embed.astype(self.dtype) @ w + bias
+        kv = enc_raw.astype(self.dtype) @ w_f + b_f           # (B, N, 2LD)
+        parts = jnp.split(kv, len(projs), axis=-1)
+        hs = self.layers[0].cross_attn.head_split
+        kvs = [(hs(parts[2 * i]), hs(parts[2 * i + 1]))
+               for i in range(len(self.layers))]
+        if self.kv_quant:
+            from mdcnet_tpu.ops import kv_quant
+            pad = (-enc_raw.shape[1]) % 8
+            def quant_padded(x):
+                if pad:
+                    x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+                return kv_quant.quantize(x)
+            kvs = [(quant_padded(k), quant_padded(v)) for k, v in kvs]
+        return kvs
+
     def init_cache(self, batch: int, cache_len: int
                    ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
         from mdcnet_tpu.ops import kv_quant
@@ -252,22 +294,44 @@ class CaptionDecoder(nn.Module):
     @staticmethod
     def commit_blocks(caches: List[Tuple[jnp.ndarray, jnp.ndarray]],
                       blk_kvs: List[Tuple[jnp.ndarray, jnp.ndarray]],
-                      pos: jnp.ndarray, acc: jnp.ndarray
+                      pos: jnp.ndarray, acc: jnp.ndarray,
+                      impl: str = "scatter"
                       ) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
         """Write the accepted prefix of each row's block K/V into the caches.
 
         pos: (B,) first block position per row; acc: (B,) accepted counts in
-        [0, K].  Rejected lanes are routed to the last cache column, which
-        ``decode_block_split``'s l < pos mask keeps unattendable forever
-        (cols never exceed alloc-2 for real commits — generate_speculative
-        clamps pos to steps <= alloc-K-1)."""
+        [0, K].
+
+        impl="scatter": advanced-index scatter; rejected lanes are routed to
+        the last cache column, which ``decode_block_split``'s l < pos mask
+        keeps unattendable forever (cols never exceed alloc-2 for real
+        commits — generate_speculative clamps pos to steps <= alloc-K-1).
+
+        impl="gather": scatter-free twin — a take_along_axis over the K-row
+        block plus a windowed select over the cache (TPU lowers small
+        scatters to serialized updates; the gather+select is one vectorized
+        pass).  Bit-identical outputs (tests/test_speculative.py)."""
         k_blk = blk_kvs[0][0].shape[2]
         b = pos.shape[0]
-        rows = jnp.arange(b)[:, None]
         alloc = caches[0][0].shape[2]
+        out = []
+        if impl == "gather":
+            l_idx = jnp.arange(alloc)[None, :]               # (1, L)
+            rel = l_idx - pos[:, None]                       # (B, L)
+            in_win = (rel >= 0) & (rel < acc[:, None])       # (B, L)
+            g_idx = jnp.clip(rel, 0, k_blk - 1)[:, None, :, None]  # (B,1,L,1)
+            sel = in_win[:, None, :, None]
+            for (k_cache, v_cache), (k_new, v_new) in zip(caches, blk_kvs):
+                k_rows = jnp.take_along_axis(
+                    k_new.astype(k_cache.dtype), g_idx, axis=2)
+                v_rows = jnp.take_along_axis(
+                    v_new.astype(v_cache.dtype), g_idx, axis=2)
+                out.append((jnp.where(sel, k_rows, k_cache),
+                            jnp.where(sel, v_rows, v_cache)))
+            return out
+        rows = jnp.arange(b)[:, None]
         j = jnp.arange(k_blk)[None, :]
         cols = jnp.where(j < acc[:, None], pos[:, None] + j, alloc - 1)
-        out = []
         for (k_cache, v_cache), (k_new, v_new) in zip(caches, blk_kvs):
             k_cache = k_cache.at[rows, :, cols].set(
                 k_new.transpose(0, 2, 1, 3).astype(k_cache.dtype))

@@ -211,5 +211,22 @@ class ViTEncoder(nn.Module):
             x = x[:, 1:]
         return self.bottleneck(x)
 
+    def encode_raw(self, images: jnp.ndarray) -> jnp.ndarray:
+        """Full stack WITHOUT the channel bottleneck: (B, N, dim).  Serving
+        path: the static bottleneck pool folds into the decoder's cross-K/V
+        projection (decoder.prepare_memory_folded), halving the prefill
+        contraction (enc dim 512 vs out_dim 1024 at flagship)."""
+        x = self.run_blocks(self.embed(images))
+        if self.use_cls_token:
+            x = x[:, 1:]
+        return x
+
+    def pool_matrix(self) -> Optional[jnp.ndarray]:
+        """The static (dim, out_dim) bottleneck matrix (None if identity)."""
+        if self.dim == self.out_dim:
+            return None
+        return jnp.asarray(adaptive_pool_matrix(self.dim, self.out_dim),
+                           dtype=self.dtype)
+
     def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
         return self.finish(self.run_blocks(self.embed(images)))

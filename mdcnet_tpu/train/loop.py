@@ -196,7 +196,16 @@ class Trainer:
             # improvement = lower validation avg GIoU loss (trail_01.py:193);
             # when the valid split is smaller than one batch (loader drops
             # partial batches for static shapes) fall back to the train GIoU
-            # so checkpointing still happens
+            # so checkpointing still happens — LOUDLY, because at real scale
+            # an empty valid loader means the split/pipeline is broken and a
+            # silent fallback would mask it (VERDICT r03 weak 7)
+            if "giou_loss" not in valid_metrics:
+                import warnings
+                warnings.warn(
+                    "valid split produced zero full batches; best-checkpoint "
+                    "metric falls back to TRAIN giou_loss — fine for the "
+                    "test preset, a broken valid loader at real scale",
+                    RuntimeWarning, stacklevel=2)
             metric = valid_metrics.get(
                 "giou_loss", train_metrics.get("giou_loss", float("inf")))
             if metric < self.best_metric:

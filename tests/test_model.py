@@ -201,3 +201,44 @@ def test_adapt_params_resolution():
     out = model64.apply(params64, images64, jnp.zeros((2, 8), jnp.int32))
     assert out.shape == (2, 9, cfg.vocab_size)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fold_prefill_matches_standard():
+    """Folded cross-K/V prefill (bottleneck folded into the K/V projection)
+    must match prepare_memory(encode(images)) numerically, and the folded
+    generate() must emit the same greedy tokens — with a REAL bottleneck
+    (enc_dim != out_dim, like the flagship 512->1024)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mdcnet_tpu.config import test_preset
+    from mdcnet_tpu.infer.generate import (
+        generate, prepare_memory_folded_from_images)
+    from mdcnet_tpu.models import build_model
+
+    cfg = dc.replace(test_preset().model, enc_out_dim=48, dec_dim=48,
+                     enc_dim=32)
+    model = build_model(cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(0),
+                                (2, cfg.img_size, cfg.img_size, 3))
+    params = model.init({"params": jax.random.PRNGKey(1)}, images,
+                        jnp.zeros((2, 8), jnp.int32))
+
+    std = model.apply(params, model.apply(params, images, method="encode"),
+                      method=lambda m, e: m.decoder.prepare_memory(e))
+    fold, batch = prepare_memory_folded_from_images(model, params, images)
+    assert batch == 2
+    for (ks, vs), (kf, vf) in zip(std, fold):
+        np.testing.assert_allclose(np.asarray(ks), np.asarray(kf),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(vs), np.asarray(vf),
+                                   atol=1e-5, rtol=1e-5)
+
+    a = generate(model, params, images, jax.random.PRNGKey(2), steps=10,
+                 greedy=True)
+    b = generate(model, params, images, jax.random.PRNGKey(2), steps=10,
+                 greedy=True, fold_prefill=True)
+    np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))

@@ -116,13 +116,15 @@ class TestSpeculativeExactness:
             a = generate_speculative(model, params, images, gc10_tables[0],
                                      steps=12, draft_k=k,
                                      block_impl="scatter")
-            b = generate_speculative(model, params, images, gc10_tables[0],
-                                     steps=12, draft_k=k, block_impl="split")
-            np.testing.assert_array_equal(np.asarray(a.tokens),
-                                          np.asarray(b.tokens))
-            np.testing.assert_allclose(np.asarray(a.confs),
-                                       np.asarray(b.confs), atol=1e-6)
-            assert int(a.n_iters) == int(b.n_iters)
+            for impl in ("split", "split_gather"):
+                b = generate_speculative(model, params, images,
+                                         gc10_tables[0], steps=12,
+                                         draft_k=k, block_impl=impl)
+                np.testing.assert_array_equal(np.asarray(a.tokens),
+                                              np.asarray(b.tokens))
+                np.testing.assert_allclose(np.asarray(a.confs),
+                                           np.asarray(b.confs), atol=1e-6)
+                assert int(a.n_iters) == int(b.n_iters)
 
     def test_compaction_identical(self, setup, gc10_tables):
         """compact_to: phase-2 batch compaction (the raggedness fix) must
