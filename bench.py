@@ -111,6 +111,11 @@ def main():
     if os.environ.get("MDCNET_BENCH_ATTN", "xla") == "bf16":
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, enc_attn_impl="bf16"))
+    # dynamic int8 encoder projections (ops/int8.py — ~1.5x bf16 MXU rate;
+    # approximate, agreement measured by probe_serving_knobs.py)
+    if os.environ.get("MDCNET_BENCH_INT8", "0") == "1":
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, enc_int8=True))
     # folded cross-K/V prefill: bottleneck folded into the K/V projection
     fold = os.environ.get("MDCNET_BENCH_FOLD", "0") == "1"
     model = build_model(cfg.model)

@@ -56,6 +56,10 @@ def main():
         ("tanh_fold", {"enc_gelu_approx": True}, True),
         ("tanh_bf16attn_fold", {"enc_gelu_approx": True,
                                 "enc_attn_impl": "bf16"}, True),
+        ("tanh_bf16attn_fold_int8", {"enc_gelu_approx": True,
+                                     "enc_attn_impl": "bf16",
+                                     "enc_int8": True}, True),
+        ("int8_only", {"enc_int8": True}, False),
     ]
 
     out = {"workload": workload, "batch": args.batch,

@@ -105,6 +105,11 @@ class ModelConfig:
     # (66.7 vs 68.8 ms/batch at B=256 and 12x fewer block HLOs; set False
     # to unroll the stack — equality-tested in tests/test_encoder_parity.py)
     # (12x fewer HLO ops; same checkpoint tree — stacked in-forward)
+    enc_int8: bool = False  # dynamic int8 projection matmuls in the encoder
+    # (packed QKV, attn out, MLP fc1/fc2 on the MXU int8 path, ~1.5x the
+    # bf16 rate — ops/int8.py).  Approximate serving knob: token agreement
+    # on the trained checkpoint is measured by probe_serving_knobs.py;
+    # training/parity paths keep it False.
     enc_attn_impl: str = "xla"  # encoder self-attention implementation:
     # "xla" (f32 scores, parity default) | "bf16" (bf16 score matmul —
     # halves softmax HBM traffic, serving knob) | "flash" (stock Pallas TPU

@@ -72,7 +72,8 @@ def build_model(cfg) -> EncoderDecoder:
         gelu_approx=getattr(cfg, 'enc_gelu_approx', False),
         attn_impl=getattr(cfg, 'enc_attn_impl', 'xla'),
         fuse_qkv=getattr(cfg, 'enc_fuse_qkv', True),
-        scan_blocks=getattr(cfg, 'enc_scan_blocks', False), dtype=dtype,
+        scan_blocks=getattr(cfg, 'enc_scan_blocks', False),
+        int8_mm=getattr(cfg, 'enc_int8', False), dtype=dtype,
         param_dtype=param_dtype)
     if cfg.axial:
         from mdcnet_tpu.models.axial import AxialCaptionDecoder

@@ -88,6 +88,9 @@ class MultiHeadAttention(nn.Module):
     # (same reduction per output column -> numerically identical; saves two
     # HBM reads of the input and two op launches per block; params stay
     # three separate Dense so checkpoints/converters are unaffected)
+    int8_mm: bool = False  # dynamic int8 projections (ops/int8.py): packed
+    # QKV + out matmuls on the MXU's int8 path (~1.5x bf16 rate); serving
+    # knob, approximate — agreement measured by probe_serving_knobs.py
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -117,8 +120,21 @@ class MultiHeadAttention(nn.Module):
         b = jnp.concatenate(
             [pk(m)["bias"] for m in (self.q_proj, self.k_proj, self.v_proj)]
         ).astype(self.dtype)
-        qkv = x.astype(self.dtype) @ w + b
+        if self.int8_mm:
+            from mdcnet_tpu.ops.int8 import int8_matmul
+            qkv = int8_matmul(x.astype(self.dtype), w, b)
+        else:
+            qkv = x.astype(self.dtype) @ w + b
         return jnp.split(qkv, 3, axis=-1)
+
+    def _out(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Output projection; int8 when the serving knob is on."""
+        if self.int8_mm and not self.is_initializing():
+            from mdcnet_tpu.ops.int8 import int8_matmul
+            p = self.out_proj.variables["params"]
+            return int8_matmul(x, p["kernel"].astype(self.dtype),
+                               p["bias"].astype(self.dtype))
+        return self.out_proj(x)
 
     def __call__(self, query: jnp.ndarray, key: jnp.ndarray,
                  value: jnp.ndarray, bias: Optional[jnp.ndarray] = None
@@ -143,7 +159,7 @@ class MultiHeadAttention(nn.Module):
             out = dot_product_attention(q, k, v, score_dtype=jnp.bfloat16)
         else:
             out = dot_product_attention(q, k, v, bias)
-        return self.out_proj(self.head_merge(out))
+        return self._out(self.head_merge(out))
 
     def project_kv(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Apply only the k/v projections (for KV-cache prefill)."""

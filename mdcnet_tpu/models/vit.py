@@ -73,8 +73,22 @@ class ViTBlock(nn.Module):
     fuse_qkv: bool = False  # q/k/v as one packed matmul (see layers.py)
     gelu_approx: bool = False  # tanh-approx GELU (serving knob; exact erf
     # matches timm/torch bit-for-bit and stays the parity default)
+    int8_mm: bool = False  # dynamic int8 projection matmuls (ops/int8.py):
+    # packed QKV, attention out, MLP fc1/fc2 run on the MXU's int8 path
+    # (~1.5x the bf16 rate); approximate serving knob — end-to-end token
+    # agreement measured by benchmarks/probe_serving_knobs.py
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+
+    def _dense(self, mod: nn.Dense, x: jnp.ndarray) -> jnp.ndarray:
+        """Apply a Dense submodule, through int8_matmul when the knob is on
+        (param tree unchanged — the quantization reads the live params)."""
+        if self.int8_mm and not self.is_initializing():
+            from mdcnet_tpu.ops.int8 import int8_matmul
+            p = mod.variables["params"]
+            return int8_matmul(x, p["kernel"].astype(self.dtype),
+                               p["bias"].astype(self.dtype))
+        return mod(x)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -88,7 +102,8 @@ class ViTBlock(nn.Module):
                                ring_axis=self.ring_axis,
                                use_flash=self.use_flash,
                                attn_impl=self.attn_impl,
-                               fuse_qkv=self.fuse_qkv, **kw,
+                               fuse_qkv=self.fuse_qkv,
+                               int8_mm=self.int8_mm, **kw,
                                name="attn")(h, h, h)
         # LayerScale gammas are param_dtype (f32); downcast the scaled
         # branch so the residual STREAM stays in compute dtype — without
@@ -97,9 +112,11 @@ class ViTBlock(nn.Module):
         x = x + (h * ls("gamma1")).astype(x.dtype)
 
         h = nn.LayerNorm(epsilon=1e-6, **kw, name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), **kw, name="mlp_fc1")(h)
+        fc1 = nn.Dense(int(self.dim * self.mlp_ratio), **kw, name="mlp_fc1")
+        fc2 = nn.Dense(self.dim, **kw, name="mlp_fc2")
+        h = self._dense(fc1, h)
         h = nn.gelu(h, approximate=self.gelu_approx)
-        h = nn.Dense(self.dim, **kw, name="mlp_fc2")(h)
+        h = self._dense(fc2, h)
         return x + (h * ls("gamma2")).astype(x.dtype)
 
 
@@ -133,6 +150,7 @@ class ViTEncoder(nn.Module):
     # per-block params: 12x fewer HLO ops (compile + launch overhead) with
     # the checkpoint param tree unchanged (stacking happens in-forward)
     gelu_approx: bool = False
+    int8_mm: bool = False  # int8 projection matmuls (see ViTBlock.int8_mm)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -157,7 +175,8 @@ class ViTEncoder(nn.Module):
                                 use_flash=self.use_flash,
                                 attn_impl=self.attn_impl,
                                 fuse_qkv=self.fuse_qkv,
-                                gelu_approx=self.gelu_approx, **kw,
+                                gelu_approx=self.gelu_approx,
+                                int8_mm=self.int8_mm, **kw,
                                 name=f"block{i}")
                        for i in range(self.depth)]
         self.norm = nn.LayerNorm(epsilon=1e-6, **kw)

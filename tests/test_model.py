@@ -242,3 +242,36 @@ def test_fold_prefill_matches_standard():
     b = generate(model, params, images, jax.random.PRNGKey(2), steps=10,
                  greedy=True, fold_prefill=True)
     np.testing.assert_array_equal(np.asarray(a.tokens), np.asarray(b.tokens))
+
+
+def test_int8_encoder_projections():
+    """ops/int8.py dynamic int8 matmul: bounded relative error at the op
+    level, and the ViTBlock int8_mm knob produces a close-but-not-identical
+    block output (param tree unchanged — same params apply to both)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mdcnet_tpu.models.vit import ViTBlock
+    from mdcnet_tpu.ops.int8 import int8_matmul
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (64, 128), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(1), (128, 96)) * 0.05
+    b = jax.random.normal(jax.random.PRNGKey(2), (96,))
+    exact = np.asarray(x @ w + b)
+    got = np.asarray(int8_matmul(x, w, b))
+    rel = np.abs(got - exact) / (np.abs(exact) + 1e-2)
+    assert np.median(rel) < 0.02, np.median(rel)
+
+    # block level with LayerScale 1.0 so the branch contribution is visible
+    # (at the untrained 1e-6 init the int8 noise vanishes below f32 eps)
+    xb = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 64), jnp.float32)
+    blk = ViTBlock(dim=64, num_heads=2, fuse_qkv=True, layerscale_init=1.0)
+    blk8 = ViTBlock(dim=64, num_heads=2, fuse_qkv=True, layerscale_init=1.0,
+                    int8_mm=True)
+    p = blk.init(jax.random.PRNGKey(4), xb)
+    o = np.asarray(blk.apply(p, xb))
+    o8 = np.asarray(blk8.apply(p, xb))
+    d = np.abs(o - o8)
+    assert d.max() > 0, "int8 path did not engage"
+    assert np.median(d / (np.abs(o) + 1e-2)) < 0.05, d.max()
