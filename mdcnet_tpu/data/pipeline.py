@@ -45,6 +45,62 @@ def load_image(path: str) -> Optional[np.ndarray]:
         return None
 
 
+#: canonical 3x3-grid position phrases (x-cell, y-cell) -> wording, fitted
+#: on the GC10 annotations (82.0% agreement at 1/3 thresholds; the residual
+#: ~18% is annotator wording noise that is not a function of the geometry —
+#: docs/PARITY.md §14).
+_POSITION_NAMES = {
+    (0, 0): "left top", (1, 0): "top", (2, 0): "right top",
+    (0, 1): "left", (1, 1): "center", (2, 1): "right",
+    (0, 2): "left bottom", (1, 2): "bottom", (2, 2): "right bottom",
+}
+
+
+def position_phrase(box: np.ndarray, width: float, height: float) -> str:
+    """Canonical caption position wording for a box center (3x3 grid at
+    1/3 thresholds — the best deterministic fit to the GC10 wording)."""
+    cx = (box[0] + box[2]) / 2.0 / width
+    cy = (box[1] + box[3]) / 2.0 / height
+    h = 0 if cx < 1 / 3 else (2 if cx > 2 / 3 else 1)
+    v = 0 if cy < 1 / 3 else (2 if cy > 2 / 3 else 1)
+    return _POSITION_NAMES[(h, v)]
+
+
+def rewrite_position(caption: str, box: np.ndarray, width: float,
+                     height: float) -> str:
+    """Replace the template's position phrase with the canonical wording for
+    ``box`` in a (width, height) frame; captions that don't match the GC10
+    template ("... located at the X of the image") pass through unchanged."""
+    import re
+    phrase = position_phrase(box, width, height)
+    return re.sub(r"located at the .+? of the image",
+                  f"located at the {phrase} of the image", caption)
+
+
+def zoom_crop(img: np.ndarray, box: np.ndarray, rng: np.random.Generator,
+              min_scale: float = 0.35, box_margin: float = 1.3
+              ) -> Tuple[np.ndarray, np.ndarray]:
+    """Random crop fully containing ``box`` (xyxy, image space).  The crop
+    side is uniform in [max(min_scale, needed), 1.0] of each image side,
+    where ``needed`` keeps a ``box_margin`` halo around the box.  Returns
+    (cropped image view, box in crop space)."""
+    h, w = img.shape[:2]
+    bw, bh = box[2] - box[0], box[3] - box[1]
+    s = rng.uniform(max(min_scale,
+                        min(1.0, bw * box_margin / w),
+                        min(1.0, bh * box_margin / h)), 1.0)
+    cw, ch = max(int(round(s * w)), 8), max(int(round(s * h)), 8)
+    # valid offsets keep the box inside the crop
+    x_lo, x_hi = max(0, int(np.ceil(box[2])) - cw), min(int(box[0]), w - cw)
+    y_lo, y_hi = max(0, int(np.ceil(box[3])) - ch), min(int(box[1]), h - ch)
+    x_off = int(rng.integers(x_lo, x_hi + 1)) if x_hi >= x_lo else 0
+    y_off = int(rng.integers(y_lo, y_hi + 1)) if y_hi >= y_lo else 0
+    new_box = np.clip(box - np.array([x_off, y_off, x_off, y_off],
+                                     box.dtype),
+                      0.0, [cw, ch, cw, ch])
+    return img[y_off:y_off + ch, x_off:x_off + cw], new_box
+
+
 @dataclass
 class Batch:
     images: np.ndarray        # (B, H, W, 3) uint8
@@ -63,12 +119,15 @@ class SteelDefectDataset:
     """
 
     def __init__(self, records, tokenizer: SeqTokenizer, cfg: DataConfig,
-                 synthetic_images=False, native_size: int = 256):
+                 synthetic_images=False, native_size: int = 256,
+                 train: bool = False):
         self.records = records
         self.tokenizer = tokenizer
         self.cfg = cfg
         self.synthetic = synthetic_images
         self.native_size = native_size
+        self.train = train           # enables train-only host augmentation
+        self.epoch = 0               # bumped by DataLoader between epochs
         self._boxes = ann.boxes_of(records)
         # rendered pixels are deterministic per index — cache them (a full
         # GC10 epoch is ~560 MB at 256px; re-rendering costs ~60s/epoch of
@@ -133,6 +192,19 @@ class SteelDefectDataset:
             if img is None:
                 return None
             src_box = self._boxes[i]
+        caption = str(self.records["caption"][i])
+        zoom_p = getattr(self.cfg, "zoom_crop_prob", 0.0)
+        if self.train and zoom_p > 0.0:
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.cfg.split_seed, self.epoch, i]))
+            if rng.random() < zoom_p:
+                img, src_box = zoom_crop(
+                    img, np.asarray(src_box, np.float64), rng,
+                    min_scale=getattr(self.cfg, "zoom_crop_min_scale", 0.35))
+                # keep the caption's position wording consistent with the
+                # crop-space geometry (the canonical 3x3 wording)
+                caption = rewrite_position(caption, src_box,
+                                           img.shape[1], img.shape[0])
         h, w = img.shape[:2]
         size = self.cfg.img_size
         # bbox in resized-image space before tokenization
@@ -147,8 +219,7 @@ class SteelDefectDataset:
         if box[3] <= box[1]:
             box[3] = min(box[1] + 1.0, size)
         seq = self.tokenizer.process_single_pair(
-            int(self.records["label"][i]), box,
-            str(self.records["caption"][i]))
+            int(self.records["label"][i]), box, caption)
         return img, seq, box.astype(np.float32), int(self.records["label"][i])
 
 
@@ -200,6 +271,7 @@ class DataLoader:
         return idx
 
     def _produce(self, out_q: "queue.Queue"):
+        self.ds.epoch = self._epoch  # varies the host augmentation draws
         idx = self._indices()
         step = self.batch_size
         stop = len(idx) - (len(idx) % step) if self.drop_last else len(idx)
@@ -274,9 +346,9 @@ def make_loaders(records, tokenizer: SeqTokenizer, cfg: DataConfig,
     tr, va, te = three_way_split(ann.num_rows(records), cfg.valid_size,
                                  cfg.test_size, cfg.split_seed)
 
-    def mk(idx):
+    def mk(idx, train=False):
         ds = SteelDefectDataset(ann.take(records, idx), tokenizer,
-                                cfg, synthetic_images)
+                                cfg, synthetic_images, train=train)
         # one C++ call renders the whole split before first use (the cache
         # must be filled pre-use to stay consistent — see the method's NB);
         # silently lazy when the native tier is unavailable
@@ -284,7 +356,7 @@ def make_loaders(records, tokenizer: SeqTokenizer, cfg: DataConfig,
             ds.prefill_render_cache()
         return ds
 
-    train = DataLoader(mk(tr), cfg.batch_size, shuffle=True,
+    train = DataLoader(mk(tr, train=True), cfg.batch_size, shuffle=True,
                        seed=cfg.split_seed)
     valid = DataLoader(mk(va), cfg.batch_size, shuffle=False)
     test = DataLoader(mk(te), 2, shuffle=False, drop_last=False)

@@ -76,6 +76,10 @@ def main():
                     "reference's sampled-token GIoU carries no gradient; "
                     "round-3 diag: TF coord acc 0.21 vs label acc 0.94 "
                     "because boxes only ever learned through CE)")
+    ap.add_argument("--zoom-crop", type=float, default=0.0,
+                    help="train-time zoom-crop augmentation probability "
+                         "(small-defect localization; caption position "
+                         "words recomputed in crop space — pipeline.py)")
     ap.add_argument("--img-size", type=int, default=0,
                     help="hi-res quality config: train at NxN pixels "
                     "(multiple of 16; 0 = preset 224).  num_bins stays 224 "
@@ -98,7 +102,8 @@ def main():
     cfg = {"large": C.large_preset, "tiny": C.tiny_preset,
            "test": C.test_preset}[args.preset]()
     cfg = cfg.replace(data=dataclasses.replace(cfg.data,
-                                               batch_size=args.batch))
+                                               batch_size=args.batch,
+                                               zoom_crop_prob=args.zoom_crop))
     if args.img_size:
         assert args.img_size % cfg.model.patch_size == 0, \
             "--img-size must be a multiple of the 16px patch"

@@ -209,3 +209,75 @@ class TestRealImageBranch:
                        steps=12, greedy=True)
         out = postprocess(np.asarray(res.tokens), np.asarray(res.confs), tok)
         assert len(out[0]) == 4  # one (possibly None) row per image
+
+
+class TestZoomCrop:
+    """Train-time zoom-crop augmentation (small-defect localization,
+    config-gated — DataConfig.zoom_crop_prob)."""
+
+    def test_crop_contains_box_and_rescales(self):
+        import numpy as np
+        from mdcnet_tpu.data.pipeline import zoom_crop
+
+        rng = np.random.default_rng(0)
+        img = np.arange(200 * 300 * 3, dtype=np.uint8).reshape(200, 300, 3)
+        box = np.array([120.0, 80.0, 140.0, 95.0])
+        for _ in range(50):
+            crop, nb = zoom_crop(img, box, rng, min_scale=0.3)
+            ch, cw = crop.shape[:2]
+            assert 0 <= nb[0] < nb[2] <= cw and 0 <= nb[1] < nb[3] <= ch
+            # pixel content is preserved: the crop is a view of img
+            assert (nb[2] - nb[0]) == (box[2] - box[0])
+            assert (nb[3] - nb[1]) == (box[3] - box[1])
+
+    def test_position_phrase_grid(self):
+        import numpy as np
+        from mdcnet_tpu.data.pipeline import position_phrase, rewrite_position
+
+        assert position_phrase(np.array([0, 0, 10, 10]), 100, 100) == "left top"
+        assert position_phrase(np.array([45, 45, 55, 55]), 100, 100) == "center"
+        assert position_phrase(np.array([90, 40, 100, 60]), 100, 100) == "right"
+        cap = "The defect oil_spot is located at the left of the image."
+        got = rewrite_position(cap, np.array([80, 80, 99, 99]), 100, 100)
+        assert got == ("The defect oil_spot is located at the right bottom "
+                       "of the image.")
+
+    def test_dataset_applies_crop_only_in_train(self):
+        import dataclasses
+
+        import numpy as np
+
+        from mdcnet_tpu.config import test_preset
+        from mdcnet_tpu.data import annotations as ann
+        from mdcnet_tpu.data.pipeline import SteelDefectDataset
+        from mdcnet_tpu.text.tokenizer import SeqTokenizer
+        from mdcnet_tpu.text.vocabulary import gc10_vocabulary
+
+        lines = ["file_name,ids,labels,xmin,ymin,xmax,ymax,captions",
+                 "img1.jpg,punching_hole,258,400,300,700,600,"
+                 "The defect punching_hole is located at the center of the image."]
+        recs = ann.parse_annotation_lines(lines, "/img")
+        tok = SeqTokenizer(gc10_vocabulary(recs["caption"]), num_classes=10,
+                           num_bins=224, width=224, height=224)
+        cfg = dataclasses.replace(test_preset().data, zoom_crop_prob=1.0,
+                                  zoom_crop_min_scale=0.3)
+        ds_tr = SteelDefectDataset(recs, tok, cfg,
+                                   synthetic_images="learnable", train=True)
+        ds_ev = SteelDefectDataset(recs, tok, cfg,
+                                   synthetic_images="learnable", train=False)
+        img_e, seq_e, box_e, _ = ds_ev.example(0)
+        boxes = set()
+        from mdcnet_tpu.data.pipeline import collate
+        for epoch in range(4):
+            ds_tr.epoch = epoch
+            ex = ds_tr.example(0)
+            img_t, seq_t, box_t, _ = ex
+            # crop is a sub-view; collate resizes it back to a fixed grid
+            assert img_t.shape[0] <= img_e.shape[0]
+            assert img_t.shape[1] <= img_e.shape[1]
+            batch = collate([ex], cfg.max_len, cfg.img_size)
+            assert batch.images.shape == (1, cfg.img_size, cfg.img_size, 3)
+            boxes.add(tuple(np.round(box_t, 2)))
+            assert seq_t[0] == seq_e[0]  # BOS intact
+        # crops vary across epochs (box in resized space moves/grows)
+        assert len(boxes) > 1
