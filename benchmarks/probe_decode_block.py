@@ -86,25 +86,34 @@ def main():
                                method=lambda m, *a:
                                m.decoder.decode_block_split(*a))[0]
 
-        def mk_commit(impl):
+        # ragged acceptance (the realistic in-loop case): acc < K rows route
+        # their rejected lanes to the dump column under impl="scatter" —
+        # duplicate indices force XLA's ordered serialized scatter lowering.
+        # impl="unique" always writes all K lanes (duplicate-free).
+        acc_ragged = jax.random.randint(jax.random.PRNGKey(2), (batch,),
+                                        1, k + 1)
+
+        def mk_commit(impl, acc):
             @jax.jit
             def split_commit(params, k=k, toks=toks):
                 caches = decoder.init_cache(batch, cache_len + k)
                 logits, blk_kvs = model.apply(
                     params, toks, pos_v, caches, mem_kvs,
                     method=lambda m, *a: m.decoder.decode_block_split(*a))
-                acc = jnp.full((batch,), k, jnp.int32)
                 return logits, decoder.commit_blocks(caches, blk_kvs,
                                                      pos_v, acc, impl=impl)
             return split_commit
 
+        acc_full = jnp.full((batch,), k, jnp.int32)
         ms = bench(block, params)
         ms_s = bench(block_split, params)
-        ms_c = bench(mk_commit("scatter"), params)
-        ms_g = bench(mk_commit("gather"), params)
+        ms_c = bench(mk_commit("scatter", acc_full), params)
+        ms_cr = bench(mk_commit("scatter", acc_ragged), params)
+        ms_g = bench(mk_commit("gather", acc_ragged), params)
+        ms_u = bench(mk_commit("unique", acc_ragged), params)
         print(f"K={k}: scatter-block={ms:7.2f}  split-noc={ms_s:7.2f}  "
-              f"split+scatter-commit={ms_c:7.2f}  "
-              f"split+gather-commit={ms_g:7.2f} ms")
+              f"commit scatter-full={ms_c:7.2f} scatter-ragged={ms_cr:7.2f} "
+              f"gather={ms_g:7.2f} unique={ms_u:7.2f} ms")
 
 
 if __name__ == "__main__":

@@ -195,10 +195,12 @@ def generate_speculative_from_memory(model, params, encoder_out,
     # the next block before they ever become attendable
     caches = decoder.init_cache(batch, cache_len + k_blk)
 
-    # one dump column past the live region absorbs masked scatters
-    tokens0 = jnp.full((batch, steps + 2), PAD_ID, jnp.int32
+    # one dump column past the live region absorbs masked scatters; the
+    # extra k_blk slack columns let the "split_unique" impl write ALL K
+    # lanes unconditionally (stale lanes are cleaned up after the loop)
+    tokens0 = jnp.full((batch, steps + 1 + k_blk), PAD_ID, jnp.int32
                        ).at[:, 0].set(BOS_ID)
-    confs0 = jnp.zeros((batch, steps + 1), jnp.float32)
+    confs0 = jnp.zeros((batch, steps + k_blk), jnp.float32)
 
     def make_loop(mem_kvs):
         """cond/body closures for one phase; batch size is taken from the
@@ -240,24 +242,41 @@ def generate_speculative_from_memory(model, params, encoder_out,
             acc = jnp.minimum(acc, steps - pos)
             acc = jnp.where(finished, 0, acc)
             if block_impl.startswith("split"):
-                # "split" commits via scatter, "split_gather" via the
-                # vectorized gather+select twin (decoder.commit_blocks)
+                # "split" commits via masked scatter, "split_gather" via the
+                # vectorized gather+select twin, "split_unique" via the
+                # duplicate-free always-write scatter (decoder.commit_blocks)
                 caches_new = decoder.commit_blocks(
                     caches, blk_kvs, pos, acc,
-                    impl="gather" if block_impl == "split_gather"
-                    else "scatter")
+                    impl={"split_gather": "gather",
+                          "split_unique": "unique"}.get(block_impl,
+                                                        "scatter"))
             else:
                 caches_new = caches
 
             j_idx = jnp.arange(k_blk)[None, :]
             commit = j_idx < acc[:, None]                    # (B, K)
-            # scatter committed tokens/confs; masked lanes hit the dump column
-            tcol = jnp.where(commit, pos[:, None] + 1 + j_idx, steps + 1)
-            tokens = tokens.at[rows[:, None], tcol].set(
-                jnp.where(commit, out, tokens[rows[:, None], tcol]))
-            ccol = jnp.where(commit, pos[:, None] + j_idx, steps)
-            confs = confs.at[rows[:, None], ccol].set(
-                jnp.where(commit, conf, confs[rows[:, None], ccol]))
+            if block_impl == "split_unique":
+                # duplicate-free token/conf commit: write ALL K lanes at the
+                # row's window (distinct columns — no dump-column duplicates,
+                # so XLA:TPU needn't serialize the scatter).  Lanes beyond
+                # acc hold wrong-prefix predictions; they are overwritten by
+                # the next block's window (acc >= 1 for live rows) and
+                # post-loop cleanup PADs everything past the final pos.
+                tcol = pos[:, None] + 1 + j_idx
+                tokens = tokens.at[rows[:, None], tcol].set(
+                    out, unique_indices=True, mode="promise_in_bounds")
+                ccol = pos[:, None] + j_idx
+                confs = confs.at[rows[:, None], ccol].set(
+                    conf, unique_indices=True, mode="promise_in_bounds")
+            else:
+                # scatter committed tokens/confs; masked lanes hit the dump
+                # column
+                tcol = jnp.where(commit, pos[:, None] + 1 + j_idx, steps + 1)
+                tokens = tokens.at[rows[:, None], tcol].set(
+                    jnp.where(commit, out, tokens[rows[:, None], tcol]))
+                ccol = jnp.where(commit, pos[:, None] + j_idx, steps)
+                confs = confs.at[rows[:, None], ccol].set(
+                    jnp.where(commit, conf, confs[rows[:, None], ccol]))
 
             hit_eos = ((out == EOS_ID) & commit).any(axis=1)
             new_pos = pos + acc
@@ -304,9 +323,21 @@ def generate_speculative_from_memory(model, params, encoder_out,
              jnp.zeros((), jnp.int32))                  # verify-block count
     cond_fn, body_fn = make_loop(mem_kvs)
 
+    def cleanup(tokens, confs, final_pos):
+        """split_unique writes all K lanes each block; PAD/zero everything
+        past each row's final committed position (exactly the region the
+        masked impls never write)."""
+        if block_impl != "split_unique":
+            return tokens, confs
+        t_col = jnp.arange(tokens.shape[1])[None, :]
+        tokens = jnp.where(t_col <= final_pos[:, None], tokens, PAD_ID)
+        c_col = jnp.arange(confs.shape[1])[None, :]
+        confs = jnp.where(c_col < final_pos[:, None], confs, 0.0)
+        return tokens, confs
+
     if not (0 < compact_to < batch):
         state = jax.lax.while_loop(cond_fn, body_fn, state)
-        tokens, confs = state[7], state[8]
+        tokens, confs = cleanup(state[7], state[8], state[0])
         return GenerateResult(
             tokens=tokens[:, : steps + 1],
             confs=confs[:, :steps][:, ::conf_every][:, :n_confs],
@@ -336,6 +367,8 @@ def generate_speculative_from_memory(model, params, encoder_out,
 
     tokens = state[7].at[idx].set(state_c[7])
     confs = state[8].at[idx].set(state_c[8])
+    final_pos = state[0].at[idx].set(state_c[0])
+    tokens, confs = cleanup(tokens, confs, final_pos)
     return GenerateResult(
         tokens=tokens[:, : steps + 1],
         confs=confs[:, :steps][:, ::conf_every][:, :n_confs],

@@ -310,11 +310,35 @@ class CaptionDecoder(nn.Module):
         impl="gather": scatter-free twin — a take_along_axis over the K-row
         block plus a windowed select over the cache (TPU lowers small
         scatters to serialized updates; the gather+select is one vectorized
-        pass).  Bit-identical outputs (tests/test_speculative.py)."""
+        pass).  Bit-identical outputs (tests/test_speculative.py).
+
+        impl="unique": always write ALL K rows at pos..pos+K-1 (ignoring
+        acc).  Rejected rows are harmless: ``decode_block_split``'s cache
+        bias only admits slots l < pos[b], and the NEXT block's write window
+        pos+acc..pos+acc+K-1 covers every stale slot pos+acc..pos+K-1 before
+        pos ever passes it (the same argument behind the ``+k_blk`` cache
+        slack).  With no masked lanes every (row, col) index is distinct, so
+        the scatter is declared ``unique_indices=True`` /
+        ``promise_in_bounds`` — the duplicate-free form XLA:TPU can lower
+        without ordered-update serialization (the masked form routes all
+        rejected lanes of a row to one dump column, forcing the serialized
+        lowering).  Bit-identical outputs (tests/test_speculative.py)."""
         k_blk = blk_kvs[0][0].shape[2]
         b = pos.shape[0]
         alloc = caches[0][0].shape[2]
         out = []
+        if impl == "unique":
+            rows = jnp.arange(b)[:, None]
+            cols = pos[:, None] + jnp.arange(k_blk)[None, :]     # (B, K)
+            for (k_cache, v_cache), (k_new, v_new) in zip(caches, blk_kvs):
+                k_cache = k_cache.at[rows, :, cols].set(
+                    k_new.transpose(0, 2, 1, 3).astype(k_cache.dtype),
+                    unique_indices=True, mode="promise_in_bounds")
+                v_cache = v_cache.at[rows, :, cols].set(
+                    v_new.transpose(0, 2, 1, 3).astype(v_cache.dtype),
+                    unique_indices=True, mode="promise_in_bounds")
+                out.append((k_cache, v_cache))
+            return out
         if impl == "gather":
             l_idx = jnp.arange(alloc)[None, :]               # (1, L)
             rel = l_idx - pos[:, None]                       # (B, L)

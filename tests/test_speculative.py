@@ -116,7 +116,7 @@ class TestSpeculativeExactness:
             a = generate_speculative(model, params, images, gc10_tables[0],
                                      steps=12, draft_k=k,
                                      block_impl="scatter")
-            for impl in ("split", "split_gather"):
+            for impl in ("split", "split_gather", "split_unique"):
                 b = generate_speculative(model, params, images,
                                          gc10_tables[0], steps=12,
                                          draft_k=k, block_impl=impl)
@@ -125,6 +125,24 @@ class TestSpeculativeExactness:
                 np.testing.assert_allclose(np.asarray(a.confs),
                                            np.asarray(b.confs), atol=1e-6)
                 assert int(a.n_iters) == int(b.n_iters)
+
+    def test_unique_impl_with_compaction(self, setup, gc10_tables):
+        """split_unique + compact_to together (the serving configuration):
+        the always-write lanes plus the post-loop stale cleanup must still
+        reproduce greedy exactly across the phase-1/phase-2 boundary."""
+        cfg, model, params, images = setup
+        p = jax.tree_util.tree_map(lambda x: x, params)
+        bias = p["params"]["decoder"]["output"]["bias"]
+        p["params"]["decoder"]["output"]["bias"] = bias.at[EOS_ID].add(2.5)
+        ref = generate_speculative(model, p, images, gc10_tables[0],
+                                   steps=14, draft_k=4)
+        got = generate_speculative(model, p, images, gc10_tables[0],
+                                   steps=14, draft_k=4,
+                                   block_impl="split_unique", compact_to=2)
+        np.testing.assert_array_equal(np.asarray(got.tokens),
+                                      np.asarray(ref.tokens))
+        np.testing.assert_allclose(np.asarray(got.confs),
+                                   np.asarray(ref.confs), atol=1e-6)
 
     def test_compaction_identical(self, setup, gc10_tables):
         """compact_to: phase-2 batch compaction (the raggedness fix) must
