@@ -172,12 +172,16 @@ def main():
         tables = build_draft_tables(seqs, cfg.model.vocab_size)
 
         draft_k = int(os.environ.get("MDCNET_BENCH_DRAFT_K", "4"))
+        # verify-commit impl: "split_unique" writes duplicate-free scatter
+        # indices (A/B by probe_decode_block + bench_speculative)
+        block_impl = os.environ.get("MDCNET_BENCH_BLOCK_IMPL", "split_unique")
 
         def run_spec(key):
             del key  # speculative greedy path is deterministic
             return generate_speculative(model, params, images, tables,
                                         steps=steps, draft_k=draft_k,
                                         compact_to=compact,
+                                        block_impl=block_impl,
                                         fold_prefill=fold).tokens
 
         spec_img_s, spec_tokens = time_run(run_spec, batch)

@@ -41,6 +41,12 @@ def main():
     ap.add_argument("--compact", type=int, default=0,
                     help="compact_to for both paths (0 = off): gather the "
                     "unfinished rows into this batch once the rest finish")
+    ap.add_argument("--block-impl", default="split",
+                    help="verify-commit impl: split | split_gather | "
+                    "split_unique | scatter")
+    ap.add_argument("--fold", action="store_true",
+                    help="folded cross-K/V prefill (the bench.py serving "
+                    "default)")
     args = ap.parse_args()
 
     from bench import load_params
@@ -66,7 +72,8 @@ def main():
     def run_greedy(key):
         return generate(model, params, images, key, steps=steps,
                         greedy=True, early_exit=True,
-                        compact_to=args.compact).tokens
+                        compact_to=args.compact,
+                        fold_prefill=args.fold).tokens
 
     ref_tokens = np.asarray(run_greedy(jax.random.PRNGKey(2)))  # compile+warm
     lengths = [int(np.flatnonzero(r == EOS_ID)[0]) + 1
@@ -95,7 +102,7 @@ def main():
         list(ref_tokens) + ann_seqs, cfg.model.vocab_size)
 
     results = {"metric": "speculative_decode", "batch": args.batch,
-               "compact_to": args.compact,
+               "compact_to": args.compact, "block_impl": args.block_impl,
                "workload": workload, "greedy_ms": round(greedy_ms, 1),
                "greedy_img_s": round(args.batch / greedy_ms * 1e3, 1)}
     best = None
@@ -103,7 +110,9 @@ def main():
         def run_spec(key, k=k):
             return generate_speculative(model, params, images, tables,
                                         steps=steps, draft_k=k,
-                                        compact_to=args.compact).tokens
+                                        compact_to=args.compact,
+                                        block_impl=args.block_impl,
+                                        fold_prefill=args.fold).tokens
 
         got = np.asarray(run_spec(jax.random.PRNGKey(2)))  # compile+warm
         agree = float((got == ref_tokens).mean())

@@ -87,11 +87,17 @@ class ServingEngine:
         bf16 argmax ties (99.9% token agreement at flagship; bit-exact in
         f32/CPU, tests/test_serve.py), fewer decoder calls per caption.
     draft_k : verify block width (last committed token + draft_k-1 drafts).
+    commit_impl : cache-commit lowering for speculative segments
+        ("unique" default: duplicate-free always-write scatter — stale lanes
+        are never attendable and are overwritten by the next block;
+        "scatter"/"gather" are the masked twins, see
+        ``CaptionDecoder.commit_blocks``).  Output-identical.
     """
 
     def __init__(self, model, params, slots: int = 64, admit_width: int = 16,
                  segment_steps: int = 8, max_steps: Optional[int] = None,
-                 img_size: int = 224, draft_tables=None, draft_k: int = 8):
+                 img_size: int = 224, draft_tables=None, draft_k: int = 8,
+                 commit_impl: str = "unique"):
         decoder = model.decoder
         assert getattr(decoder, "prepend_bos", True), \
             "serving requires the standard causal decoder"
@@ -108,6 +114,7 @@ class ServingEngine:
         self.img_size = img_size
         self.draft_tables = draft_tables
         self.draft_k = draft_k
+        self.commit_impl = commit_impl
         self._build()
         self._reset()
 
@@ -215,7 +222,8 @@ class ServingEngine:
                 acc = jnp.minimum(acc, max_steps - pos)
                 acc = jnp.where(live, acc, 0)
                 caches = model.decoder.commit_blocks(caches, blk_kvs, pos,
-                                                     acc)
+                                                     acc,
+                                                     impl=self.commit_impl)
                 commit = j_idx < acc[:, None]
                 # masked lanes index one past the row end -> dropped
                 tcol = jnp.where(commit, pos[:, None] + 1 + j_idx,
