@@ -113,17 +113,41 @@ def main():
     if os.environ.get("MDCNET_BENCH_ATTN", "bf16") == "bf16":
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, enc_attn_impl="bf16"))
-    # dynamic int8 encoder projections (ops/int8.py — ~1.5x bf16 MXU rate;
-    # approximate, agreement measured by probe_serving_knobs.py)
-    if os.environ.get("MDCNET_BENCH_INT8", "0") == "1":
+    # int8 encoder projections (ops/int8.py): "1" = dynamic per-row quant
+    # (measured a wash — PERF round-4 ladder), "static" = calibrated
+    # static-scale quant (no amax pass; agreement via probe_serving_knobs)
+    int8_mode = os.environ.get("MDCNET_BENCH_INT8", "0")
+    if int8_mode == "1":
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, enc_int8=True))
+    elif int8_mode == "static":
+        cfg = cfg.replace(model=dataclasses.replace(
+            cfg.model, enc_int8_static=True))
     # folded cross-K/V prefill: bottleneck folded into the K/V projection
     # (measured default — probe_serving_knobs ladder; =0 restores unfused)
     fold = os.environ.get("MDCNET_BENCH_FOLD", "1") == "1"
     model = build_model(cfg.model)
     params, workload = load_params(model, cfg)
     trained = workload == "trained_gc10_early_exit"
+
+    if int8_mode == "static":
+        # calibrated activation amaxes ride a "calib" collection next to the
+        # params; persisted beside the checkpoint so the bench is stable
+        from mdcnet_tpu.ops.int8 import (calibrate_encoder, load_calib,
+                                         save_calib)
+        calib_path = os.path.join(CHECKPOINT_DIR, "int8_calib.json")
+        if os.path.exists(calib_path):
+            calib = load_calib(calib_path)
+        else:
+            calib_imgs = jax.random.uniform(
+                jax.random.PRNGKey(7),
+                (64, cfg.data.img_size, cfg.data.img_size, 3), jnp.float32)
+            calib = calibrate_encoder(cfg.model, params, [calib_imgs])
+            try:
+                save_calib(calib, calib_path)
+            except OSError:
+                pass
+        params = {**params, "calib": calib}
 
     batch = int(os.environ.get("MDCNET_BENCH_BATCH", "256"))
     steps = cfg.infer.generation_steps  # 101, capped to 98 inside generate

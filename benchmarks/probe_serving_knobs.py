@@ -60,7 +60,16 @@ def main():
                                      "enc_attn_impl": "bf16",
                                      "enc_int8": True}, True),
         ("int8_only", {"enc_int8": True}, False),
+        ("tanh_bf16attn_fold_int8static", {"enc_gelu_approx": True,
+                                           "enc_attn_impl": "bf16",
+                                           "enc_int8_static": True}, True),
+        ("int8static_only", {"enc_int8_static": True}, False),
     ]
+
+    # static-int8 calibration (one pass, reused by every *int8static* rung)
+    from mdcnet_tpu.ops.int8 import calibrate_encoder
+    calib = calibrate_encoder(base_cfg.model, params, [images[:64]])
+    params_calib = {**params, "calib": calib}
 
     out = {"workload": workload, "batch": args.batch,
            "compact_to": args.compact}
@@ -68,9 +77,10 @@ def main():
     for name, over, fold in variants:
         model = (model_exact if not over
                  else build_model(dataclasses.replace(base_cfg.model, **over)))
+        run_params = params_calib if "int8static" in name else params
 
-        def run(key, model=model, fold=fold):
-            return generate(model, params, images, key, steps=101,
+        def run(key, model=model, fold=fold, run_params=run_params):
+            return generate(model, run_params, images, key, steps=101,
                             greedy=True, early_exit=True,
                             compact_to=args.compact,
                             fold_prefill=fold).tokens

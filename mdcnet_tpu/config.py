@@ -120,6 +120,14 @@ class ModelConfig:
     # bf16 rate — ops/int8.py).  Approximate serving knob: token agreement
     # on the trained checkpoint is measured by probe_serving_knobs.py;
     # training/parity paths keep it False.
+    enc_int8_static: bool = False  # static-CALIBRATED int8 projections: no
+    # dynamic amax pass (the round-4 ladder measured dynamic int8 a wash —
+    # quant overhead ate the 1.48x MXU win).  Reads per-block (4,) amax
+    # vectors from a "calib" variable collection injected alongside params
+    # (ops/int8.calibrate_encoder / load_calib); falls back to the exact
+    # path when the collection is absent.  Serving knob, approximate.
+    enc_int8_calib: bool = False  # calibration mode: sow per-site activation
+    # amax into "calib_stats" (run with enc_scan_blocks=False)
     enc_attn_impl: str = "xla"  # encoder self-attention implementation:
     # "xla" (f32 scores, parity default) | "bf16" (bf16 score matmul —
     # halves softmax HBM traffic, serving knob) | "flash" (stock Pallas TPU

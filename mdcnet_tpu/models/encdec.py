@@ -73,7 +73,9 @@ def build_model(cfg) -> EncoderDecoder:
         attn_impl=getattr(cfg, 'enc_attn_impl', 'xla'),
         fuse_qkv=getattr(cfg, 'enc_fuse_qkv', True),
         scan_blocks=getattr(cfg, 'enc_scan_blocks', False),
-        int8_mm=getattr(cfg, 'enc_int8', False), dtype=dtype,
+        int8_mm=getattr(cfg, 'enc_int8', False),
+        int8_static=getattr(cfg, 'enc_int8_static', False),
+        int8_calib=getattr(cfg, 'enc_int8_calib', False), dtype=dtype,
         param_dtype=param_dtype)
     if cfg.axial:
         from mdcnet_tpu.models.axial import AxialCaptionDecoder

@@ -91,6 +91,8 @@ class MultiHeadAttention(nn.Module):
     int8_mm: bool = False  # dynamic int8 projections (ops/int8.py): packed
     # QKV + out matmuls on the MXU's int8 path (~1.5x bf16 rate); serving
     # knob, approximate — agreement measured by probe_serving_knobs.py
+    int8_calib: bool = False  # sow per-site activation amax into the
+    # "calib_stats" collection (ops/int8.calibrate_encoder)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -109,9 +111,10 @@ class MultiHeadAttention(nn.Module):
         self.v_proj = nn.Dense(self.dim, **kw)
         self.out_proj = nn.Dense(self.dim, **kw)
 
-    def _fused_qkv(self, x: jnp.ndarray):
+    def _fused_qkv(self, x: jnp.ndarray, amax=None):
         """q/k/v via one packed (D, 3D) matmul; init-time falls back to the
-        three Dense calls so the param tree is created normally."""
+        three Dense calls so the param tree is created normally.  ``amax``:
+        calibrated activation amax -> static int8 (ops/int8.py)."""
         pk = lambda m: m.variables["params"]
         w = jnp.concatenate(
             [pk(m)["kernel"] for m in (self.q_proj, self.k_proj,
@@ -120,15 +123,28 @@ class MultiHeadAttention(nn.Module):
         b = jnp.concatenate(
             [pk(m)["bias"] for m in (self.q_proj, self.k_proj, self.v_proj)]
         ).astype(self.dtype)
-        if self.int8_mm:
+        if amax is not None:
+            from mdcnet_tpu.ops.int8 import int8_matmul_static
+            qkv = int8_matmul_static(x.astype(self.dtype), w, b, amax)
+        elif self.int8_mm:
             from mdcnet_tpu.ops.int8 import int8_matmul
             qkv = int8_matmul(x.astype(self.dtype), w, b)
         else:
             qkv = x.astype(self.dtype) @ w + b
         return jnp.split(qkv, 3, axis=-1)
 
-    def _out(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Output projection; int8 when the serving knob is on."""
+    def _out(self, x: jnp.ndarray, amax=None) -> jnp.ndarray:
+        """Output projection; int8 when a serving knob is on."""
+        if self.int8_calib:
+            self.sow("calib_stats", "out_in",
+                     jnp.max(jnp.abs(x.astype(jnp.float32))),
+                     init_fn=lambda: jnp.zeros((), jnp.float32),
+                     reduce_fn=jnp.maximum)
+        if amax is not None and not self.is_initializing():
+            from mdcnet_tpu.ops.int8 import int8_matmul_static
+            p = self.out_proj.variables["params"]
+            return int8_matmul_static(x, p["kernel"].astype(self.dtype),
+                                      p["bias"].astype(self.dtype), amax)
         if self.int8_mm and not self.is_initializing():
             from mdcnet_tpu.ops.int8 import int8_matmul
             p = self.out_proj.variables["params"]
@@ -137,11 +153,20 @@ class MultiHeadAttention(nn.Module):
         return self.out_proj(x)
 
     def __call__(self, query: jnp.ndarray, key: jnp.ndarray,
-                 value: jnp.ndarray, bias: Optional[jnp.ndarray] = None
-                 ) -> jnp.ndarray:
+                 value: jnp.ndarray, bias: Optional[jnp.ndarray] = None,
+                 int8_amax=None) -> jnp.ndarray:
+        qkv_amax = out_amax = None
+        if int8_amax is not None:
+            qkv_amax, out_amax = int8_amax
+        if self.int8_calib:
+            self.sow("calib_stats", "qkv_in",
+                     jnp.max(jnp.abs(query.astype(jnp.float32))),
+                     init_fn=lambda: jnp.zeros((), jnp.float32),
+                     reduce_fn=jnp.maximum)
         if (self.fuse_qkv and query is key and key is value
                 and not self.is_initializing()):
-            q, k, v = map(self.head_split, self._fused_qkv(query))
+            q, k, v = map(self.head_split,
+                          self._fused_qkv(query, amax=qkv_amax))
         else:
             q = self.head_split(self.q_proj(query))
             k = self.head_split(self.k_proj(key))
@@ -159,7 +184,7 @@ class MultiHeadAttention(nn.Module):
             out = dot_product_attention(q, k, v, score_dtype=jnp.bfloat16)
         else:
             out = dot_product_attention(q, k, v, bias)
-        return self._out(self.head_merge(out))
+        return self._out(self.head_merge(out), amax=out_amax)
 
     def project_kv(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Apply only the k/v projections (for KV-cache prefill)."""

@@ -77,12 +77,25 @@ class ViTBlock(nn.Module):
     # packed QKV, attention out, MLP fc1/fc2 run on the MXU's int8 path
     # (~1.5x the bf16 rate); approximate serving knob — end-to-end token
     # agreement measured by benchmarks/probe_serving_knobs.py
+    int8_static: bool = False  # static-calibrated int8 projections: reads a
+    # per-block (4,) activation-amax vector from the "calib" variable
+    # collection (ops/int8.calibrate_encoder builds it; inject it alongside
+    # the params at apply time).  No dynamic amax pass — the quantize fuses
+    # into LayerNorm/GELU epilogues.  Requires fuse_qkv for the QKV site;
+    # falls back to the exact path when the collection is absent.
+    int8_calib: bool = False  # sow per-site activation amax (calibration)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
-    def _dense(self, mod: nn.Dense, x: jnp.ndarray) -> jnp.ndarray:
-        """Apply a Dense submodule, through int8_matmul when the knob is on
-        (param tree unchanged — the quantization reads the live params)."""
+    def _dense(self, mod: nn.Dense, x: jnp.ndarray, amax=None) -> jnp.ndarray:
+        """Apply a Dense submodule, through int8_matmul (dynamic) or
+        int8_matmul_static (``amax`` given) when a knob is on (param tree
+        unchanged — the quantization reads the live params)."""
+        if amax is not None and not self.is_initializing():
+            from mdcnet_tpu.ops.int8 import int8_matmul_static
+            p = mod.variables["params"]
+            return int8_matmul_static(x, p["kernel"].astype(self.dtype),
+                                      p["bias"].astype(self.dtype), amax)
         if self.int8_mm and not self.is_initializing():
             from mdcnet_tpu.ops.int8 import int8_matmul
             p = mod.variables["params"]
@@ -90,12 +103,24 @@ class ViTBlock(nn.Module):
                                p["bias"].astype(self.dtype))
         return mod(x)
 
+    def _sow_amax(self, name: str, x: jnp.ndarray) -> None:
+        self.sow("calib_stats", name,
+                 jnp.max(jnp.abs(x.astype(jnp.float32))),
+                 init_fn=lambda: jnp.zeros((), jnp.float32),
+                 reduce_fn=jnp.maximum)
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         ls = lambda name: self.param(
             name, nn.initializers.constant(self.layerscale_init),
             (self.dim,), self.param_dtype)
+        # static-int8 calibration vector (qkv_in, out_in, fc1_in, fc2_in)
+        amax = None
+        if (self.int8_static and not self.is_initializing()
+                and self.has_variable("calib", "amax")):
+            amax = self.get_variable("calib", "amax").astype(jnp.float32)
+        site = (lambda i: None) if amax is None else (lambda i: amax[i])
 
         h = nn.LayerNorm(epsilon=1e-6, **kw, name="norm1")(x)
         h = MultiHeadAttention(self.dim, self.num_heads,
@@ -103,8 +128,10 @@ class ViTBlock(nn.Module):
                                use_flash=self.use_flash,
                                attn_impl=self.attn_impl,
                                fuse_qkv=self.fuse_qkv,
-                               int8_mm=self.int8_mm, **kw,
-                               name="attn")(h, h, h)
+                               int8_mm=self.int8_mm,
+                               int8_calib=self.int8_calib, **kw,
+                               name="attn")(
+            h, h, h, int8_amax=None if amax is None else (amax[0], amax[1]))
         # LayerScale gammas are param_dtype (f32); downcast the scaled
         # branch so the residual STREAM stays in compute dtype — without
         # this the bf16 flagship promotes the whole stream to f32 after
@@ -114,9 +141,13 @@ class ViTBlock(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, **kw, name="norm2")(x)
         fc1 = nn.Dense(int(self.dim * self.mlp_ratio), **kw, name="mlp_fc1")
         fc2 = nn.Dense(self.dim, **kw, name="mlp_fc2")
-        h = self._dense(fc1, h)
+        if self.int8_calib:
+            self._sow_amax("fc1_in", h)
+        h = self._dense(fc1, h, amax=site(2))
         h = nn.gelu(h, approximate=self.gelu_approx)
-        h = self._dense(fc2, h)
+        if self.int8_calib:
+            self._sow_amax("fc2_in", h)
+        h = self._dense(fc2, h, amax=site(3))
         return x + (h * ls("gamma2")).astype(x.dtype)
 
 
@@ -151,6 +182,8 @@ class ViTEncoder(nn.Module):
     # the checkpoint param tree unchanged (stacking happens in-forward)
     gelu_approx: bool = False
     int8_mm: bool = False  # int8 projection matmuls (see ViTBlock.int8_mm)
+    int8_static: bool = False  # static-calibrated int8 (ViTBlock.int8_static)
+    int8_calib: bool = False   # calibration sow mode (use scan_blocks=False)
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -176,7 +209,9 @@ class ViTEncoder(nn.Module):
                                 attn_impl=self.attn_impl,
                                 fuse_qkv=self.fuse_qkv,
                                 gelu_approx=self.gelu_approx,
-                                int8_mm=self.int8_mm, **kw,
+                                int8_mm=self.int8_mm,
+                                int8_static=self.int8_static,
+                                int8_calib=self.int8_calib, **kw,
                                 name=f"block{i}")
                        for i in range(self.depth)]
         self.norm = nn.LayerNorm(epsilon=1e-6, **kw)
@@ -210,10 +245,21 @@ class ViTEncoder(nn.Module):
     def run_blocks(self, x: jnp.ndarray) -> jnp.ndarray:
         """Transformer stack + final norm (token-wise; shard_map-safe)."""
         if self.scan_blocks and not self.is_initializing():
-            ps = [b.variables["params"] for b in self.blocks]
-            stacked = jax.tree_util.tree_map(
-                lambda *leaves: jnp.stack(leaves), *ps)
+            stack = lambda vs: jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves), *vs)
+            stacked = stack([b.variables["params"] for b in self.blocks])
             blk = self.blocks[0]
+            if self.int8_static and "calib" in self.blocks[0].variables:
+                # ride the calibrated per-block amax vectors through the scan
+                stacked_c = stack([b.variables["calib"]
+                                   for b in self.blocks])
+
+                def body_c(h, pc):
+                    p, c = pc
+                    return blk.apply({"params": p, "calib": c}, h), None
+
+                x, _ = jax.lax.scan(body_c, x, (stacked, stacked_c))
+                return self.norm(x)
 
             def body(h, p):
                 return blk.apply({"params": p}, h), None

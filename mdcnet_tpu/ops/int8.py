@@ -50,6 +50,96 @@ def quantize_cols(w: jnp.ndarray, eps: float = 1e-8):
     return q.astype(jnp.int8), scale
 
 
+def int8_matmul_static(x: jnp.ndarray, w: jnp.ndarray,
+                       bias: Optional[jnp.ndarray],
+                       x_amax: jnp.ndarray, eps: float = 1e-8
+                       ) -> jnp.ndarray:
+    """``x @ w (+ bias)`` with the activation quantized by a STATIC
+    (calibrated) per-tensor amax instead of a dynamic per-row reduce.
+
+    Why: the dynamic path was measured a wash end-to-end (docs/PERF.md
+    round-4 ladder) — the amax reduce is an extra full pass over the
+    activations that XLA cannot fuse into the producing op, and it
+    serializes with the quantize.  With a static scale the round/clip/cast
+    is one elementwise chain that fuses into the preceding op's epilogue
+    (LayerNorm / GELU write int8 directly), and the int32->f32 rescale is a
+    scalar multiply fused into the dot's output.  Out-of-range activations
+    (beyond the calibrated amax) saturate at +-127 — that clipping is the
+    accuracy cost; token-level agreement is measured end-to-end by
+    benchmarks/probe_serving_knobs.py before this can be a serving default.
+
+    x: (..., K) float; w: (K, N) float (per-column dynamic quant — a ~1M
+    elementwise pass vs a 100+ GFLOP dot); x_amax: scalar calibrated
+    max|x|; bias: (N,) float or None.
+    """
+    out_dtype = x.dtype
+    sx = jnp.maximum(x_amax.astype(jnp.float32), eps) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                  ).astype(jnp.int8)
+    wq, sw = quantize_cols(w)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (sx * sw)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+def calibrate_encoder(model_cfg, params, image_batches) -> dict:
+    """Run the encoder in calibration mode over ``image_batches`` and return
+    the "calib" variables tree {"encoder": {"block{i}": {"amax": (4,)}}}
+    consumed by the static-int8 path (``ModelConfig.enc_int8_static``).
+
+    Site order in the (4,) vector: packed-QKV input, attention out-proj
+    input, MLP fc1 input, MLP fc2 input — the four projection matmuls that
+    carry ~94% of block FLOPs.  amax is maxed over every batch given."""
+    import dataclasses
+
+    from mdcnet_tpu.models import build_model
+
+    calib_cfg = dataclasses.replace(model_cfg, enc_int8_calib=True,
+                                    enc_int8_static=False, enc_int8=False,
+                                    enc_scan_blocks=False)
+    model = build_model(calib_cfg)
+    tot = None
+    for images in image_batches:
+        _, st = model.apply(params, images, method="encode",
+                            mutable=["calib_stats"])
+        stats = st["calib_stats"]
+        tot = stats if tot is None else jax.tree_util.tree_map(
+            jnp.maximum, tot, stats)
+    out = {}
+    for name, blk in tot["encoder"].items():
+        amax = jnp.stack([
+            jnp.asarray(blk["attn"]["qkv_in"], jnp.float32).reshape(()),
+            jnp.asarray(blk["attn"]["out_in"], jnp.float32).reshape(()),
+            jnp.asarray(blk["fc1_in"], jnp.float32).reshape(()),
+            jnp.asarray(blk["fc2_in"], jnp.float32).reshape(())])
+        out[name] = {"amax": amax}
+    return {"encoder": out}
+
+
+def save_calib(calib: dict, path: str) -> None:
+    """JSON-serialize a calibration tree (block name -> 4 amax floats)."""
+    import json
+
+    data = {name: [float(v) for v in blk["amax"]]
+            for name, blk in calib["encoder"].items()}
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+
+
+def load_calib(path: str) -> dict:
+    """Inverse of ``save_calib``."""
+    import json
+
+    with open(path) as f:
+        data = json.load(f)
+    return {"encoder": {name: {"amax": jnp.asarray(vals, jnp.float32)}
+                        for name, vals in data.items()}}
+
+
 def int8_matmul(x: jnp.ndarray, w: jnp.ndarray,
                 bias: Optional[jnp.ndarray] = None,
                 out_dtype=None) -> jnp.ndarray:

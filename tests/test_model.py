@@ -275,3 +275,52 @@ def test_int8_encoder_projections():
     d = np.abs(o - o8)
     assert d.max() > 0, "int8 path did not engage"
     assert np.median(d / (np.abs(o) + 1e-2)) < 0.05, d.max()
+
+
+def test_int8_static_calibrated_encoder():
+    """Static-calibrated int8 (enc_int8_static): calibrate_encoder produces
+    per-block (4,) amax vectors; injecting the calib collection changes the
+    encoder output by a bounded amount vs the exact path; without the
+    collection the static knob falls back to the exact path bit-for-bit.
+    Covers both the scan_blocks and unrolled stacks."""
+    import dataclasses
+
+    from mdcnet_tpu.ops.int8 import (calibrate_encoder, load_calib,
+                                     save_calib)
+
+    cfg = test_preset().model
+    cfg = dataclasses.replace(cfg, enc_scan_blocks=True)
+    model = build_model(cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), images,
+                        jnp.zeros((2, 4), jnp.int32))
+    exact = np.asarray(model.apply(params, images, method="encode"))
+
+    calib = calibrate_encoder(cfg, params, [images])
+    amaxes = np.concatenate([np.asarray(b["amax"])
+                             for b in calib["encoder"].values()])
+    assert amaxes.shape == (cfg.enc_depth * 4,)
+    assert (amaxes > 0).all() and np.isfinite(amaxes).all()
+
+    for scan in (True, False):
+        m8 = build_model(dataclasses.replace(cfg, enc_int8_static=True,
+                                             enc_scan_blocks=scan))
+        got = np.asarray(m8.apply({**params, "calib": calib}, images,
+                                  method="encode"))
+        d = np.abs(got - exact)
+        assert d.max() > 0, "static int8 path did not engage"
+        assert np.median(d / (np.abs(exact) + 1e-2)) < 0.08, d.max()
+        # absent collection -> exact fallback
+        fb = np.asarray(m8.apply(params, images, method="encode"))
+        np.testing.assert_array_equal(fb, exact)
+
+    # JSON round-trip
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".json", mode="w",
+                                     delete=False) as f:
+        path = f.name
+    save_calib(calib, path)
+    loaded = load_calib(path)
+    for name, blk in calib["encoder"].items():
+        np.testing.assert_allclose(np.asarray(loaded["encoder"][name]["amax"]),
+                                   np.asarray(blk["amax"]), rtol=1e-6)
