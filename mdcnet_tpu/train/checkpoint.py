@@ -50,6 +50,26 @@ class CheckpointManager:
             np.savez(os.path.join(self.directory, f"ckpt_{step}.npz"),
                      *[np.asarray(x) for x in flat])
 
+    def save_params(self, params: Any, step: int) -> None:
+        """Save ONLY the params tree (as ``{"params": ...}``).
+
+        A full TrainState save round-trips params + both Adam moments
+        (~3x params, ~1.5 GB for the flagship) through the device tunnel;
+        intermediate saves during long runs only need to feed
+        ``restore_params`` (bench.py / --resume-params), so saving the
+        params alone cuts the tunnel traffic 3x.  NOT resumable via
+        ``restore`` (no optimizer state) — callers do a full ``save`` at
+        the end of the run.
+        """
+        if self._mgr is not None:
+            self._mgr.save(step, args=ocp.args.StandardSave(
+                {"params": jax.tree_util.tree_map(np.asarray, params)}))
+            self._mgr.wait_until_finished()
+        else:  # pragma: no cover - minimal fallback
+            flat, _ = jax.tree_util.tree_flatten(params)
+            np.savez(os.path.join(self.directory, f"ckpt_{step}.npz"),
+                     *[np.asarray(x) for x in flat])
+
     def latest_step(self) -> Optional[int]:
         if self._mgr is not None:
             return self._mgr.latest_step()

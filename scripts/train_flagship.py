@@ -65,6 +65,12 @@ def main():
                     "(sigma in bins; 0 = one-hot CE)")
     ap.add_argument("--skip-quality", action="store_true",
                     help="skip the post-training quality measurement")
+    ap.add_argument("--save-every", type=int, default=5,
+                    help="intermediate-checkpoint cadence in epochs; "
+                    "intermediate saves are params-only (~3x less tunnel "
+                    "traffic than the full TrainState) and exist so an "
+                    "interrupted run still leaves bench.py a usable "
+                    "checkpoint; the final save is always the full state")
     ap.add_argument("--max-lr", type=float, default=0.0,
                     help="override the cyclic LR ceiling (0 = preset)")
     ap.add_argument("--pos-dropout", type=float, default=-1.0,
@@ -202,10 +208,13 @@ def main():
         print(f"epoch {epoch}: ce={metrics['ce_loss']:.4f} "
               f"giou={metrics['giou_loss']:.4f} "
               f"({time.time() - t0:.0f}s)", flush=True)
-        # saving round-trips ~1.5 GB through the device tunnel (~90 s);
-        # amortize over several epochs
-        if epoch % 5 == 4 or epoch == args.epochs - 1:
+        # a full-state save round-trips ~1.5 GB through the device tunnel
+        # (~90 s); intermediate saves are params-only (~30 s) and exist so
+        # an interrupted run still leaves a bench-usable checkpoint
+        if epoch == args.epochs - 1:
             ckpt.save(state, step=step_base + int(state.step))
+        elif epoch % args.save_every == args.save_every - 1:
+            ckpt.save_params(state.params, step=step_base + int(state.step))
     print(f"saved step={step_base + int(state.step)} -> {args.out}",
           flush=True)
 

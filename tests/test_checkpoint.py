@@ -46,6 +46,34 @@ class TestCheckpoint:
         assert np.isfinite(float(metrics["total_loss"]))
 
 
+class TestParamsOnlySave:
+    def test_save_params_feeds_restore_params(self, tmp_path):
+        """Intermediate params-only saves (train_flagship --save-every)
+        must stay readable through the same ``restore_params`` path the
+        bench and --resume-params use, including after a later full-state
+        save garbage-collects them (max_to_keep=1)."""
+        cfg = test_preset()
+        model = build_model(cfg.model)
+        rng = jax.random.PRNGKey(0)
+        images = jnp.zeros((2, cfg.data.img_size, cfg.data.img_size, 3))
+        y = jnp.zeros((2, cfg.data.max_len - 1), jnp.int32)
+        state = create_train_state(model, cfg, rng, images, y)
+
+        mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=1)
+        mgr.save_params(state.params, step=7)
+        assert mgr.latest_step() == 7
+        restored = mgr.restore_params(model, cfg)
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        mgr.save(state, step=9)  # final full save GCs the params-only one
+        assert mgr.latest_step() == 9
+        restored = mgr.restore_params(model, cfg)
+        assert len(jax.tree_util.tree_leaves(restored)) == len(
+            jax.tree_util.tree_leaves(state.params))
+
+
 class TestResume:
     def test_train_from_config_resumes_latest(self, tmp_path):
         """Kill/restart continuity: a second train_from_config run on the
