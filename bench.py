@@ -58,9 +58,10 @@ def load_params(model, cfg):
 
     try:
         mgr = CheckpointManager(CHECKPOINT_DIR, 1)
-        if mgr.latest_step() is not None:
+        step = mgr.latest_step()
+        if step is not None:
             params = mgr.restore_params(model, cfg)
-            return jax.device_put(params), "trained_gc10_early_exit"
+            return jax.device_put(params), "trained_gc10_early_exit", step
     except Exception as e:
         print(f"checkpoint restore failed ({e!r}); untrained fallback",
               file=sys.stderr)
@@ -70,7 +71,7 @@ def load_params(model, cfg):
         model, cfg, rng, jnp.zeros((1, cfg.data.img_size,
                                     cfg.data.img_size, 3)),
         jnp.zeros((1, cfg.data.max_len - 1), jnp.int32))
-    return state.params, "untrained_full_budget"
+    return state.params, "untrained_full_budget", None
 
 
 def time_run(run, batch, iters=5):
@@ -127,7 +128,7 @@ def main():
     # (measured default — probe_serving_knobs ladder; =0 restores unfused)
     fold = os.environ.get("MDCNET_BENCH_FOLD", "1") == "1"
     model = build_model(cfg.model)
-    params, workload = load_params(model, cfg)
+    params, workload, ckpt_step = load_params(model, cfg)
     trained = workload == "trained_gc10_early_exit"
 
     if int8_mode == "static":
@@ -222,6 +223,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(value / BASELINE_TARGET, 4),
         "workload": f"{workload}_{path}",
+        "ckpt_step": ckpt_step,  # restored checkpoint — drift is visible
         "batch": batch,
         "mean_seq_len": round(seq_len, 2),
         "greedy_img_s": round(greedy_img_s, 2),

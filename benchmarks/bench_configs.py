@@ -56,7 +56,7 @@ def init_params(model, img_size, flagship=False):
         cfg = large_preset()
         cfg = cfg.replace(model=dataclasses.replace(cfg.model,
                                                     vocab_size=332))
-        params, workload = load_params(model, cfg)
+        params, workload, _ = load_params(model, cfg)
         assert workload.startswith("trained"), "no trained checkpoint"
         return params
     images1 = jnp.zeros((1, img_size, img_size, 3), jnp.float32)

@@ -42,7 +42,7 @@ def main():
     cfg = large_preset()
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, vocab_size=332))
     model = build_model(cfg.model)
-    params, workload = load_params(model, cfg)
+    params, workload, _ = load_params(model, cfg)
     print(f"workload={workload}", file=sys.stderr)
     decoder = model.decoder
     cache_len = decoder.max_len - 1

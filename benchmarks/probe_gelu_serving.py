@@ -36,7 +36,7 @@ def main():
     model_exact = build_model(cfg.model)
     model_tanh = build_model(dataclasses.replace(cfg.model,
                                                  enc_gelu_approx=True))
-    params, workload = load_params(model_exact, cfg)
+    params, workload, _ = load_params(model_exact, cfg)
     print(f"workload={workload}", file=sys.stderr)
 
     images = jax.random.uniform(

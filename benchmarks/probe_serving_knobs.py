@@ -40,7 +40,7 @@ def main():
     base_cfg = base_cfg.replace(model=dataclasses.replace(
         base_cfg.model, vocab_size=332))
     model_exact = build_model(base_cfg.model)
-    params, workload = load_params(model_exact, base_cfg)
+    params, workload, _ = load_params(model_exact, base_cfg)
     print(f"workload={workload}", file=sys.stderr)
 
     images = jax.random.uniform(

@@ -45,7 +45,7 @@ def main():
     cfg = large_preset()
     cfg = cfg.replace(model=dataclasses.replace(cfg.model, vocab_size=332))
     model = build_model(cfg.model)
-    params, workload = load_params(model, cfg)
+    params, workload, _ = load_params(model, cfg)
     steps = cfg.infer.generation_steps
     print(f"workload={workload}", file=sys.stderr)
 

@@ -66,8 +66,11 @@ class CheckpointManager:
                 {"params": jax.tree_util.tree_map(np.asarray, params)}))
             self._mgr.wait_until_finished()
         else:  # pragma: no cover - minimal fallback
+            # distinct name: restore() expects ckpt_*.npz to hold a FULL
+            # flattened TrainState; a params-only file under that name would
+            # fail its unflatten with a leaf-count mismatch (ADVICE r04)
             flat, _ = jax.tree_util.tree_flatten(params)
-            np.savez(os.path.join(self.directory, f"ckpt_{step}.npz"),
+            np.savez(os.path.join(self.directory, f"params_{step}.npz"),
                      *[np.asarray(x) for x in flat])
 
     def latest_step(self) -> Optional[int]:
@@ -103,18 +106,54 @@ class CheckpointManager:
                 absl.setLevel(level)
         raise NotImplementedError("params-only restore requires orbax")
 
+    def _is_params_only(self, step: int) -> Optional[bool]:
+        """True/False when the saved tree's top level is knowable from
+        metadata ({"params"} = intermediate params-only save), None when the
+        orbax metadata API is unavailable."""
+        try:
+            meta = self._mgr.item_metadata(step)
+            tree = getattr(meta, "tree", meta)
+            if hasattr(tree, "keys"):
+                return set(tree.keys()) == {"params"}
+        except Exception:
+            pass
+        return None
+
     def restore(self, template: TrainState,
                 step: Optional[int] = None) -> TrainState:
+        """Restore a full TrainState.  Intermediate saves are params-only
+        (``save_params``); resuming from one cannot bring back optimizer
+        moments, so it falls back to the template's FRESH optimizer state +
+        restored params with a loud warning instead of crashing on the
+        structure mismatch (ADVICE r04)."""
         step = step if step is not None else self.latest_step()
         assert step is not None, "no checkpoint found"
         if self._mgr is not None:
+            def params_fallback():
+                import sys
+                print(f"WARNING: checkpoint step {step} is a params-only "
+                      "intermediate save — optimizer state/LR schedule "
+                      "restart fresh (full resume needs a full-state save)",
+                      file=sys.stderr, flush=True)
+                params = self.restore_params(step=step)
+                return template.replace(
+                    params=jax.tree_util.tree_map(jnp_device_put, params),
+                    step=step)
+
+            if self._is_params_only(step):
+                return params_fallback()
             # host-side zeros template: np.asarray(template) would round-trip
             # the full state through the device (minutes over a remote
             # tunnel); only shapes/dtypes matter to orbax
             target = jax.tree_util.tree_map(
                 lambda x: np.zeros(np.shape(x), x.dtype), template)
-            restored = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(target))
+            try:
+                restored = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(target))
+            except Exception:
+                if self._is_params_only(step) is False:
+                    raise
+                return params_fallback()
         else:
             flat, treedef = jax.tree_util.tree_flatten(template)
             data = np.load(os.path.join(self.directory, f"ckpt_{step}.npz"))

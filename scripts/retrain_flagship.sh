@@ -11,10 +11,25 @@
 # Quality flags are the recalibrated recipe measured best on every gate
 # (docs/PERF.md "dropout recipe A/B").  ~20 s/epoch on a healthy tunnel;
 # budget 1-3 h wall clock depending on tunnel stalls.
+#
+# Training runs in checkpoints_run/ (live dir, GC'd by max_to_keep=1);
+# the FINAL full-state checkpoint is copied read-only into
+# checkpoints_flagship/ — the git-pinned artifact bench.py restores.
+# Never point a live run at the pinned dir (ADVICE r04: the run's
+# CheckpointManager would delete the tracked checkpoint).
 set -euo pipefail
 cd "$(dirname "$0")/.."
-exec python scripts/train_flagship.py \
+python scripts/train_flagship.py \
   --epochs 150 --batch 64 \
   --coord-sigma 2.0 --diff-giou --grad-clip 1.0 \
   --pos-dropout 0.05 --layer-dropout 0 --patch-dropout 0 \
-  --out checkpoints_flagship "$@"
+  --out checkpoints_run "$@"
+
+step=$(ls checkpoints_run | grep -E '^[0-9]+$' | sort -n | tail -1)
+[ -n "$step" ] || { echo "no checkpoint produced in checkpoints_run/"; exit 1; }
+mkdir -p checkpoints_flagship
+rm -rf "checkpoints_flagship/${step}.tmp"
+cp -r "checkpoints_run/$step" "checkpoints_flagship/${step}.tmp"
+find checkpoints_flagship -maxdepth 1 -type d -regex '.*/[0-9]+' -exec rm -rf {} +
+mv "checkpoints_flagship/${step}.tmp" "checkpoints_flagship/$step"
+echo "pinned checkpoints_flagship/$step (remember to git add it)"

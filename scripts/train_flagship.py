@@ -41,7 +41,11 @@ def main():
                     help="synthetic pixel mode when no --images")
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--batch", type=int, default=64)
-    ap.add_argument("--out", default="checkpoints_flagship")
+    ap.add_argument("--out", default="checkpoints_run",
+                    help="live training output dir (GC'd by max_to_keep=1 "
+                    "on every run — keep it OUTSIDE the git-pinned bench "
+                    "dir; retrain_flagship.sh copies the final full-state "
+                    "checkpoint into checkpoints_flagship/)")
     ap.add_argument("--preset", default="large")
     ap.add_argument("--pretrained", default="",
                     help="converted ImageNet encoder .npz")
@@ -213,7 +217,9 @@ def main():
         # an interrupted run still leaves a bench-usable checkpoint
         if epoch == args.epochs - 1:
             ckpt.save(state, step=step_base + int(state.step))
-        elif epoch % args.save_every == args.save_every - 1:
+        elif (args.save_every > 0
+              and epoch % args.save_every == args.save_every - 1):
+            # --save-every 0: final full-state save only
             ckpt.save_params(state.params, step=step_base + int(state.step))
     print(f"saved step={step_base + int(state.step)} -> {args.out}",
           flush=True)

@@ -73,6 +73,33 @@ class TestParamsOnlySave:
         assert len(jax.tree_util.tree_leaves(restored)) == len(
             jax.tree_util.tree_leaves(state.params))
 
+    def test_full_restore_falls_back_on_params_only(self, tmp_path):
+        """--resume against a params-only intermediate save must not crash
+        on the TrainState structure mismatch: restore() detects the
+        {"params": ...} tree and returns the template with restored params
+        (fresh optimizer) plus a warning (ADVICE r04 high)."""
+        cfg = test_preset()
+        model = build_model(cfg.model)
+        rng = jax.random.PRNGKey(0)
+        images = jnp.zeros((2, cfg.data.img_size, cfg.data.img_size, 3))
+        y = jnp.zeros((2, cfg.data.max_len - 1), jnp.int32)
+        state = create_train_state(model, cfg, rng, images, y)
+
+        mgr = CheckpointManager(str(tmp_path / "ck"), max_to_keep=1)
+        mgr.save_params(state.params, step=7)
+
+        template = create_train_state(model, cfg, jax.random.PRNGKey(9),
+                                      images, y)
+        restored = mgr.restore(template)
+        assert int(restored.step) == 7
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # optimizer state comes from the template (fresh), not the ckpt
+        for a, b in zip(jax.tree_util.tree_leaves(template.opt_state),
+                        jax.tree_util.tree_leaves(restored.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestResume:
     def test_train_from_config_resumes_latest(self, tmp_path):
