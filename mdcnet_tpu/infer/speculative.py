@@ -129,7 +129,7 @@ def draft_tokens(tables: DraftTables, prev2: jnp.ndarray, prev: jnp.ndarray,
     jax.jit,
     static_argnames=("model", "steps", "draft_k", "top_k", "top_p",
                      "conf_every", "temperature", "block_impl",
-                     "compact_to", "fold_prefill"))
+                     "compact_to", "fold_prefill", "recycle_shift"))
 def generate_speculative(model, params, images: jnp.ndarray,
                          tables: DraftTables, steps: int = 101,
                          draft_k: int = 8, top_k: int = 0,
@@ -137,7 +137,8 @@ def generate_speculative(model, params, images: jnp.ndarray,
                          temperature: float = 1.0,
                          block_impl: str = "split",
                          compact_to: int = 0,
-                         fold_prefill: bool = False) -> GenerateResult:
+                         fold_prefill: bool = False,
+                         recycle_shift: bool = True) -> GenerateResult:
     """Greedy generation with draft-K verification; output tokens identical
     to ``generate(greedy=True, early_exit=True)``; confidences identical at
     every committed (pre-EOS) position."""
@@ -148,20 +149,21 @@ def generate_speculative(model, params, images: jnp.ndarray,
             model, params, None, tables, steps=steps, draft_k=draft_k,
             top_k=top_k, top_p=top_p, conf_every=conf_every,
             temperature=temperature, block_impl=block_impl,
-            compact_to=compact_to, mem_kvs=mem_kvs)
+            compact_to=compact_to, mem_kvs=mem_kvs,
+            recycle_shift=recycle_shift)
     encoder_out = model.apply(params, images, method="encode")
     return generate_speculative_from_memory(
         model, params, encoder_out, tables, steps=steps, draft_k=draft_k,
         top_k=top_k, top_p=top_p, conf_every=conf_every,
         temperature=temperature, block_impl=block_impl,
-        compact_to=compact_to)
+        compact_to=compact_to, recycle_shift=recycle_shift)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("model", "steps", "draft_k", "top_k", "top_p",
                      "conf_every", "temperature", "block_impl",
-                     "compact_to"))
+                     "compact_to", "recycle_shift"))
 def generate_speculative_from_memory(model, params, encoder_out,
                                      tables: DraftTables, steps: int = 101,
                                      draft_k: int = 8, top_k: int = 0,
@@ -169,7 +171,9 @@ def generate_speculative_from_memory(model, params, encoder_out,
                                      temperature: float = 1.0,
                                      block_impl: str = "split",
                                      compact_to: int = 0,
-                                     mem_kvs=None) -> GenerateResult:
+                                     mem_kvs=None,
+                                     recycle_shift: bool = True
+                                     ) -> GenerateResult:
     """``compact_to > 0``: two-phase raggedness fix.  The while_loop runs to
     the SLOWEST of B rows; rows whose captions draft badly take near-greedy
     block counts while every finished row still pays the full per-block
@@ -307,6 +311,29 @@ def generate_speculative_from_memory(model, params, encoder_out,
                     out, jnp.clip(src, 0, k_blk - 1), axis=1)
                 avail = (src <= k_blk - 1) & ~finished[:, None] & (rec != PAD_ID)
                 recycled = jnp.where(avail, rec, -1)
+                if recycle_shift:
+                    # Insertion-miss realignment (probe_spec_trace): when the
+                    # model INSERTS a token the drafter skipped (correction C,
+                    # rejected draft d), the beyond-commit predictions were
+                    # conditioned on d as if already consumed — they are the
+                    # true continuation shifted one ahead, and plain recycling
+                    # cascades at acc=1 until the template resyncs.  Signature,
+                    # checkable for free: from the corrected context the n-gram
+                    # tables predict exactly the rejected draft (i.e. d was a
+                    # plausible next token that C was inserted before).  Then
+                    # the aligned drafts are [d, recycled[:-1]].  Word tokens
+                    # only (>= LABEL_START): coordinate slots can collide with
+                    # the table's global-mode coordinate and fire spuriously.
+                    rejected = jnp.take_along_axis(
+                        block, jnp.clip(acc, 0, k_blk - 1)[:, None],
+                        axis=1)[:, 0]
+                    tab = tables.trigram[prev2_new, last_new]
+                    tab = jnp.where(tab < 0, tables.bigram[last_new], tab)
+                    insertion = ((acc < k_blk) & (tab == rejected)
+                                 & (rejected >= LABEL_START) & ~finished)
+                    shifted = jnp.concatenate(
+                        [rejected[:, None], recycled[:, :-1]], axis=1)
+                    recycled = jnp.where(insertion[:, None], shifted, recycled)
             return (new_pos, last_new, prev2_new, cls_tok, finished, since,
                     recycled, tokens, confs, caches_new, n_iters + 1)
 
