@@ -120,8 +120,11 @@ def draft_tokens(tables: DraftTables, prev2: jnp.ndarray, prev: jnp.ndarray,
     if recycled is None:
         recycled = jnp.full((prev.shape[0], k - 1), -1, jnp.int32)
     since0 = jnp.where(prev == CAPTION_END_ID, 0, since_cap_end)
+    # unroll: k-1 <= 7 steps of tiny (B,) gathers/selects — unrolled they
+    # fuse into a handful of kernels instead of a sequential scan whose
+    # per-iteration op latency (~50 us/op on this toolchain) adds up
     _, drafts = jax.lax.scan(step, (prev2, prev, since0),
-                             recycled.T.astype(jnp.int32))
+                             recycled.T.astype(jnp.int32), unroll=True)
     return drafts.T        # (B, k-1)
 
 
