@@ -162,8 +162,11 @@ def main():
     # (output-identical; infer/generate.py & infer/speculative.py).
     # batch//8 measured best on the spec path (round-5 sweep: 1,948 vs
     # 1,910 img/s at batch//4; greedy prefers batch//4 but the headline
-    # path is speculative)
-    compact = int(os.environ.get("MDCNET_BENCH_COMPACT", str(batch // 8)))
+    # path is speculative).  A comma list ("64,16") sets a multi-stage
+    # compaction ladder.
+    compact_env = os.environ.get("MDCNET_BENCH_COMPACT", str(batch // 8))
+    compact = tuple(int(s) for s in compact_env.split(",")) \
+        if "," in compact_env else int(compact_env)
 
     # Path A — plain greedy XLA decode (the cross-round comparable baseline).
     def run_greedy(key):

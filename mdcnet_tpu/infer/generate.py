@@ -230,32 +230,46 @@ def generate_from_memory(model, params, encoder_out, rng: jax.Array,
     cond_fn, body_fn = make_loop(mem_kvs)
 
     # compaction is exactness-preserving only for greedy decoding (the
-    # sampling path's per-step categorical draws change shape with batch)
-    if not (early_exit and greedy and 0 < compact_to < batch):
+    # sampling path's per-step categorical draws change shape with batch).
+    # ``compact_to``: int (single stage) or descending tuple of stage
+    # sizes — each stage gathers the live rows into a smaller batch once
+    # few enough remain, so tail steps stream stage/B of the HBM bytes.
+    stages = (compact_to,) if isinstance(compact_to, int) else \
+        tuple(compact_to)
+    stages = [s for s in stages if 0 < s < batch]
+    assert stages == sorted(stages, reverse=True), \
+        "compaction stages must be descending"
+    if not (early_exit and greedy and stages):
         state = jax.lax.while_loop(cond_fn, body_fn, state)
         tokens, confs = state[4], state[5]
         return GenerateResult(tokens=tokens,
                               confs=confs[:, ::conf_every][:, :n_confs])
 
-    # phase 1: full batch until <= compact_to rows remain live
-    def cond1(state):
-        return cond_fn(state) & (jnp.sum(~state[3]) > compact_to)
+    idx_abs = jnp.arange(batch)
+    res_tokens, res_confs = tokens0, confs0
+    cur_mem = mem_kvs
+    for tgt in stages:
+        def cond_stage(state, _cond=cond_fn, _tgt=tgt):
+            return _cond(state) & (jnp.sum(~state[3]) > _tgt)
 
-    state = jax.lax.while_loop(cond1, body_fn, state)
+        state = jax.lax.while_loop(cond_stage, body_fn, state)
+        res_tokens = res_tokens.at[idx_abs].set(state[4])
+        res_confs = res_confs.at[idx_abs].set(state[5])
+        # gather survivors (position counter i is lockstep — carried)
+        i, token, caches, finished, tokens, confs, rng = state
+        idx = jnp.argsort(finished.astype(jnp.int32))[:tgt]
+        idx_abs = jnp.take(idx_abs, idx)
+        take = lambda x, _idx=idx: jnp.take(x, _idx, axis=0)
+        cur_mem = jax.tree_util.tree_map(take, cur_mem)
+        state = (i, take(token), jax.tree_util.tree_map(take, caches),
+                 take(finished), take(tokens), take(confs), rng)
+        cond_fn, body_fn = make_loop(cur_mem)
 
-    # compact: gather survivors (position counter i is lockstep — carried)
-    i, token, caches, finished, tokens, confs, rng = state
-    idx = jnp.argsort(finished.astype(jnp.int32))[:compact_to]
-    take = lambda x: jnp.take(x, idx, axis=0)
-    cond2, body2 = make_loop(jax.tree_util.tree_map(take, mem_kvs))
-    state_c = (i, take(token), jax.tree_util.tree_map(take, caches),
-               take(finished), take(tokens), take(confs), rng)
-    state_c = jax.lax.while_loop(cond2, body2, state_c)
-
-    tokens = tokens.at[idx].set(state_c[4])
-    confs = confs.at[idx].set(state_c[5])
-    return GenerateResult(tokens=tokens,
-                          confs=confs[:, ::conf_every][:, :n_confs])
+    state = jax.lax.while_loop(cond_fn, body_fn, state)
+    res_tokens = res_tokens.at[idx_abs].set(state[4])
+    res_confs = res_confs.at[idx_abs].set(state[5])
+    return GenerateResult(tokens=res_tokens,
+                          confs=res_confs[:, ::conf_every][:, :n_confs])
 
 
 @functools.partial(

@@ -365,7 +365,21 @@ def generate_speculative_from_memory(model, params, encoder_out,
         confs = jnp.where(c_col < final_pos[:, None], confs, 0.0)
         return tokens, confs
 
-    if not (0 < compact_to < batch):
+    # compaction ladder: ``compact_to`` is an int (single stage, the
+    # historical API) or a descending tuple of stage sizes.  Each stage
+    # runs the loop until <= stage rows remain live, writes the current
+    # rows' results back into the full-size buffers, gathers the
+    # survivors (plus caches and cross K/V) into a stage-row batch, and
+    # continues — tail iterations stream stage/B of the HBM bytes.
+    # Output tokens/confs identical: rows are only moved, never
+    # re-decoded (tests/test_speculative.py).
+    stages = (compact_to,) if isinstance(compact_to, int) else \
+        tuple(compact_to)
+    stages = [s for s in stages if 0 < s < batch]
+    assert stages == sorted(stages, reverse=True), \
+        "compaction stages must be descending"
+
+    if not stages:
         state = jax.lax.while_loop(cond_fn, body_fn, state)
         tokens, confs = cleanup(state[7], state[8], state[0])
         return GenerateResult(
@@ -373,33 +387,37 @@ def generate_speculative_from_memory(model, params, encoder_out,
             confs=confs[:, :steps][:, ::conf_every][:, :n_confs],
             n_iters=state[10])
 
-    # ---- phase 1: full batch until <= compact_to rows remain live ---------
-    def cond1(state):
-        live = jnp.sum(~state[4])
-        return cond_fn(state) & (live > compact_to)
+    idx_abs = jnp.arange(batch)
+    res_tokens, res_confs = tokens0, confs0
+    res_pos = jnp.zeros((batch,), jnp.int32)
+    cur_mem = mem_kvs
+    for tgt in stages:
+        def cond_stage(state, _cond=cond_fn, _tgt=tgt):
+            return _cond(state) & (jnp.sum(~state[4]) > _tgt)
 
-    state = jax.lax.while_loop(cond1, body_fn, state)
+        state = jax.lax.while_loop(cond_stage, body_fn, state)
+        # park this stage's results (finished rows drop out of the gather)
+        res_tokens = res_tokens.at[idx_abs].set(state[7])
+        res_confs = res_confs.at[idx_abs].set(state[8])
+        res_pos = res_pos.at[idx_abs].set(state[0])
+        # gather survivors (stable sort: unfinished first)
+        order = jnp.argsort(state[4].astype(jnp.int32))
+        idx = order[:tgt]
+        idx_abs = jnp.take(idx_abs, idx)
+        take = lambda x, _idx=idx: jnp.take(x, _idx, axis=0)
+        cur_mem = jax.tree_util.tree_map(take, cur_mem)
+        # every leaf of the state except the scalar n_iters has a leading
+        # batch dim (caches are (B, H, L, Dh) lists-of-pairs)
+        state = tuple(jax.tree_util.tree_map(take, s)
+                      for s in state[:-1]) + (state[-1],)
+        cond_fn, body_fn = make_loop(cur_mem)
 
-    # ---- compact: gather the surviving rows (stable: unfinished first) ----
-    finished = state[4]
-    order = jnp.argsort(finished.astype(jnp.int32))  # stable sort
-    idx = order[:compact_to]
-    take = lambda x: jnp.take(x, idx, axis=0)
-    mem_kvs_c = jax.tree_util.tree_map(take, mem_kvs)
-    # every leaf of the state except the scalar n_iters has a leading batch
-    # dim (caches are (B, H, L, Dh) lists-of-pairs)
-    state_c = tuple(jax.tree_util.tree_map(take, s)
-                    for s in state[:-1]) + (state[-1],)
-
-    # ---- phase 2: compact batch to completion ------------------------------
-    cond2, body2 = make_loop(mem_kvs_c)
-    state_c = jax.lax.while_loop(cond2, body2, state_c)
-
-    tokens = state[7].at[idx].set(state_c[7])
-    confs = state[8].at[idx].set(state_c[8])
-    final_pos = state[0].at[idx].set(state_c[0])
-    tokens, confs = cleanup(tokens, confs, final_pos)
+    state = jax.lax.while_loop(cond_fn, body_fn, state)
+    res_tokens = res_tokens.at[idx_abs].set(state[7])
+    res_confs = res_confs.at[idx_abs].set(state[8])
+    res_pos = res_pos.at[idx_abs].set(state[0])
+    tokens, confs = cleanup(res_tokens, res_confs, res_pos)
     return GenerateResult(
         tokens=tokens[:, : steps + 1],
         confs=confs[:, :steps][:, ::conf_every][:, :n_confs],
-        n_iters=state_c[10])
+        n_iters=state[10])

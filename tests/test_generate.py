@@ -171,7 +171,7 @@ class TestGreedyCompaction:
         for prm in (biased, params):
             ref = generate(model, prm, images, jax.random.PRNGKey(0),
                            steps=14, greedy=True, early_exit=True)
-            for compact in (1, 2, 3):
+            for compact in (1, 2, 3, (3, 1), (3, 2, 1)):
                 got = generate(model, prm, images, jax.random.PRNGKey(0),
                                steps=14, greedy=True, early_exit=True,
                                compact_to=compact)

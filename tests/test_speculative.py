@@ -156,7 +156,7 @@ class TestSpeculativeExactness:
         for prm in (p, params):
             ref = generate_speculative(model, prm, images, gc10_tables[0],
                                        steps=14, draft_k=4)
-            for compact in (1, 2, 3):
+            for compact in (1, 2, 3, (3, 1), (3, 2, 1)):
                 got = generate_speculative(model, prm, images,
                                            gc10_tables[0], steps=14,
                                            draft_k=4, compact_to=compact)
