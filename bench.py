@@ -116,8 +116,10 @@ def main():
             cfg.model, enc_attn_impl="bf16"))
     # int8 encoder projections (ops/int8.py): "1" = dynamic per-row quant
     # (measured a wash — PERF round-4 ladder), "static" = calibrated
-    # static-scale quant (no amax pass; agreement via probe_serving_knobs)
-    int8_mode = os.environ.get("MDCNET_BENCH_INT8", "0")
+    # static-scale quant — measured default (round-5 probe_serving_knobs:
+    # 165.9 -> 160.4 ms greedy end-to-end, +3.4%, token agreement 0.99968
+    # ≥ the 99.9% flip bar); "0" restores bf16 projections
+    int8_mode = os.environ.get("MDCNET_BENCH_INT8", "static")
     if int8_mode == "1":
         cfg = cfg.replace(model=dataclasses.replace(
             cfg.model, enc_int8=True))

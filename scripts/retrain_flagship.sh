@@ -19,10 +19,16 @@
 # CheckpointManager would delete the tracked checkpoint).
 set -euo pipefail
 cd "$(dirname "$0")/.."
+# --zoom-crop 0 pins the historical recipe: train_flagship.py now
+# defaults to 0.5 (quality winner, docs/PERF.md round-5 gates), but THIS
+# script must keep producing the same workload the cross-round bench
+# numbers were measured on.  The quality-best recipe simply omits the
+# flag (or see checkpoints_zoom/).
 python scripts/train_flagship.py \
   --epochs 150 --batch 64 \
   --coord-sigma 2.0 --diff-giou --grad-clip 1.0 \
   --pos-dropout 0.05 --layer-dropout 0 --patch-dropout 0 \
+  --zoom-crop 0 \
   --out checkpoints_run "$@"
 
 step=$(ls checkpoints_run | grep -E '^[0-9]+$' | sort -n | tail -1)

@@ -86,7 +86,7 @@ def main():
                     "reference's sampled-token GIoU carries no gradient; "
                     "round-3 diag: TF coord acc 0.21 vs label acc 0.94 "
                     "because boxes only ever learned through CE)")
-    ap.add_argument("--zoom-crop", type=float, default=0.0,
+    ap.add_argument("--zoom-crop", type=float, default=0.5,
                     help="train-time zoom-crop augmentation probability "
                          "(small-defect localization; caption position "
                          "words recomputed in crop space — pipeline.py)")
