@@ -133,6 +133,13 @@ def main():
     params, workload, ckpt_step = load_params(model, cfg)
     trained = workload == "trained_gc10_early_exit"
 
+    # pre-cast decoder weights to bf16 (BIT-identical under the bf16
+    # compute dtype — tests/test_model.py::test_decoder_bf16_precast_bitwise;
+    # halves the decode loop's per-iteration weight stream)
+    if os.environ.get("MDCNET_BENCH_WCAST", "1") == "1":
+        from mdcnet_tpu.models.encdec import cast_decoder_params_bf16
+        params = cast_decoder_params_bf16(params)
+
     if int8_mode == "static":
         # calibrated activation amaxes ride a "calib" collection next to the
         # params; persisted beside the checkpoint so the bench is stable

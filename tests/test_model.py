@@ -324,3 +324,45 @@ def test_int8_static_calibrated_encoder():
     for name, blk in calib["encoder"].items():
         np.testing.assert_allclose(np.asarray(loaded["encoder"][name]["amax"]),
                                    np.asarray(blk["amax"]), rtol=1e-6)
+
+
+def test_decoder_bf16_precast_bitwise():
+    """cast_decoder_params_bf16 must be BIT-identical under the bf16
+    compute dtype: flax already casts each f32 weight to bf16 per use, so
+    pre-casting (vocab head excluded — it computes in f32) changes the
+    HBM stream, not the math (serving default in bench.py)."""
+    import dataclasses
+
+    import numpy as np
+
+    from mdcnet_tpu.config import test_preset
+    from mdcnet_tpu.infer.generate import generate
+    from mdcnet_tpu.models import build_model
+    from mdcnet_tpu.models.encdec import cast_decoder_params_bf16
+
+    cfg = dataclasses.replace(test_preset().model, dtype="bfloat16")
+    model = build_model(cfg)
+    images = jax.random.uniform(jax.random.PRNGKey(1),
+                                (3, cfg.img_size, cfg.img_size, 3))
+    params = model.init({"params": jax.random.PRNGKey(0)}, images,
+                        jnp.zeros((3, 10), jnp.int32))
+    cast = cast_decoder_params_bf16(params)
+    # vocab head stays f32
+    assert cast["params"]["decoder"]["output"]["kernel"].dtype == jnp.float32
+    assert cast["params"]["decoder"]["layer0"]["linear1"]["kernel"].dtype \
+        == jnp.bfloat16
+
+    rng = jax.random.PRNGKey(2)
+    ref = generate(model, params, images, rng, steps=12, greedy=True)
+    got = generate(model, cast, images, rng, steps=12, greedy=True)
+    np.testing.assert_array_equal(np.asarray(ref.tokens),
+                                  np.asarray(got.tokens))
+    np.testing.assert_array_equal(np.asarray(ref.confs),
+                                  np.asarray(got.confs))
+
+    # teacher-forced logits identical too (train-time parity of the cast)
+    lr = model.apply(params, images, jnp.zeros((3, 10), jnp.int32),
+                     deterministic=True)
+    lg = model.apply(cast, images, jnp.zeros((3, 10), jnp.int32),
+                     deterministic=True)
+    np.testing.assert_array_equal(np.asarray(lr), np.asarray(lg))
